@@ -1,0 +1,51 @@
+"""The analyzer: ONE tokenization, three byte-identical implementations.
+
+miru does not tokenize at ingest — producers pre-tokenize; its intake
+tokenizer lowercases and splits on a negated character class
+(miru-stumptown-deployable/.../LogMill.java:79-93), and index/query-time
+analyzers must match (miru-plugin/.../query/TermAnalyzers.java:43-126 —
+the Q2 parity risk in SURVEY.md). We pin: lowercase → split on
+``[^a-z0-9_]+`` → drop empties → KEEP duplicates (TF matters; miru keeps TF
+via multiTermCardinality, miru-api/.../schema/MiruFieldDefinition.java:73).
+
+Implementations (must agree; pinned by tests/test_analyzer.py):
+- ``tokens_col``: JVM-side Catalyst expression (the hot path — whole-stage
+  codegen, no Python).
+- ``tokenize_pandas``: pandas/Arrow path used inside the segment builder.
+- ``DUCKDB_TOKENS_SQL``: the DuckDB oracle expression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SPLIT_PATTERN = "[^a-z0-9_]+"
+_RE = re.compile(SPLIT_PATTERN)
+
+
+def tokens_col(content: Column | str) -> Column:
+    """JVM-side tokens array (empties removed, duplicates kept)."""
+    c = F.col(content) if isinstance(content, str) else content
+    return F.filter(F.split(F.lower(c), SPLIT_PATTERN), lambda t: t != F.lit(""))
+
+
+def tokenize_pandas(content: pd.Series) -> pd.Series:
+    """pandas path: Series[str] -> Series[list[str]]; identical semantics."""
+    return content.str.lower().str.split(_RE).map(
+        lambda toks: [t for t in toks if t] if toks is not None else []
+    )
+
+
+def tokenize_one(text: str) -> list[str]:
+    return [t for t in _RE.split(text.lower()) if t]
+
+
+def duckdb_tokens_sql(col: str = "content") -> str:
+    """DuckDB expression producing the identical token list."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{SPLIT_PATTERN}'), t -> t <> '')"
+    )

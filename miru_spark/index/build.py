@@ -1,0 +1,296 @@
+"""Index build pipeline: stable docIDs → per-partition posting segments.
+
+The Spark-native rebuild of miru's MiruIndexer.index pipeline
+(miru-service/.../stream/MiruIndexer.java:47-126) and posting-list
+construction (miru-service/.../stream/MiruIndexPrimaryFields.java:37-160):
+per partition, term → sorted (docID, tf) runs. Partition-local docID spaces
+in miru (MiruPartitionCursor.java:29-31) become one GLOBAL dense docID space
+here, assigned as the rank in (repo, path, commit) order — stable across
+parallelism levels (SURVEY.md §7.4b) — with partitions owning contiguous,
+disjoint docID ranges so the later merge is pure concatenation (the same
+insight as miru's atomized posting keys, LabInvertedIndex.java:87-150).
+
+Scale notes (100 TB / 10^12 files):
+- docID assignment is two passes over range-partitioned data (count per
+  partition → prefix-sum offsets broadcast); no global sort bottleneck, no
+  driver materialization beyond one int per partition.
+- segment build is shuffle-free: each task tokenizes and aggregates ONLY its
+  own partition (map-side; the only shuffle in the whole build is the
+  repartitionByRange and the final term-keyed merge).
+- each task writes its own segment parquet + manifest (write-tmp-then-rename,
+  checkpoint-after-durable-write ordering copied from miru's FullTextGatherer
+  sip cursor, miru-stream-plugins/.../fulltext/FullTextGatherer.java:205-242),
+  so an interrupted build resumes by skipping completed partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.analyzer import tokenize_pandas
+from miru_spark.codec import encode_id_set, encode_postings
+from miru_spark.corpus import verify_sha256
+
+KEY_COLS = ["repo", "path", "commit"]
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("pid", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()),
+        ("docids", pa.binary()),
+        ("tfs", pa.binary()),
+        ("block_last", pa.binary()),
+        ("block_max_tf", pa.binary()),
+    ]
+)
+
+MANIFEST_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("n_postings", T.LongType()),
+        T.StructField("n_terms", T.LongType()),
+        T.StructField("doc_id_start", T.LongType()),
+        T.StructField("doc_id_end", T.LongType()),
+        T.StructField("segment_file", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def assign_doc_ids(
+    df: DataFrame, num_partitions: int, persist: bool = True
+) -> tuple[DataFrame, dict[int, int]]:
+    """Global dense docIDs = rank in (repo, path, commit) order.
+
+    Range-partition + sortWithinPartitions gives a total key order across
+    partitions; per-partition counts → prefix-sum offsets (broadcast dict,
+    one entry per partition). Independent of parallelism: the rank of a key
+    is the rank, whatever N is.
+    """
+    keyed = (
+        df.repartitionByRange(num_partitions, *KEY_COLS)
+        .sortWithinPartitions(*KEY_COLS)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if persist:
+        keyed = keyed.persist()
+    counts = {r["_pid"]: r["count"] for r in keyed.groupBy("_pid").count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    off_b = df.sparkSession.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("_pid", T.IntegerType()), T.StructField("doc_id", T.LongType())]
+    )
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = off_b.value[pid] + seen
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return keyed.mapInPandas(add_ids, schema=out_schema), offsets
+
+
+def _build_segment_rows(pdf: pd.DataFrame) -> tuple[pa.Table, dict]:
+    """Tokenize one partition and build its posting rows (pure numpy)."""
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tokens = tokenize_pandas(pdf["content"])
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens]) if lens.sum() else np.empty(0, dtype=object)
+    flat_docs = np.repeat(doc_ids, lens)
+    # (term, doc) -> tf via lexsort + run-length encoding (no Python per row)
+    order = np.lexsort((flat_docs, flat_terms))
+    st, sd = flat_terms[order], flat_docs[order]
+    if st.size:
+        new_run = np.empty(st.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (st[1:] != st[:-1]) | (sd[1:] != sd[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        tf = np.diff(np.append(run_starts, st.size))
+        u_terms, u_docs = st[run_starts], sd[run_starts]
+        new_term = np.empty(u_terms.size, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = u_terms[1:] != u_terms[:-1]
+        term_starts = np.nonzero(new_term)[0]
+        term_ends = np.append(term_starts[1:], u_terms.size)
+    else:
+        u_terms = u_docs = tf = term_starts = term_ends = np.empty(0, dtype=np.int64)
+
+    rows = {k: [] for k in ("term", "df", "cf", "min_doc", "max_doc", "docids", "tfs", "block_last", "block_max_tf")}
+    for s, e in zip(term_starts, term_ends):
+        d, t = u_docs[s:e], tf[s:e]
+        blobs = encode_postings(d, t)
+        rows["term"].append(u_terms[s])
+        rows["df"].append(int(e - s))
+        rows["cf"].append(int(t.sum()))
+        rows["min_doc"].append(int(d[0]))
+        rows["max_doc"].append(int(d[-1]))
+        rows["docids"].append(blobs[0])
+        rows["tfs"].append(blobs[1])
+        rows["block_last"].append(blobs[2])
+        rows["block_max_tf"].append(blobs[3])
+    stats = dict(
+        n_docs=int(len(pdf)),
+        n_tokens=int(lens.sum()),
+        n_postings=int(u_terms.size),
+        n_terms=int(term_starts.size),
+        doc_id_start=int(doc_ids.min()) if doc_ids.size else -1,
+        doc_id_end=int(doc_ids.max()) if doc_ids.size else -1,
+    )
+    return rows, stats
+
+
+def build_segments(
+    corpus_with_ids: DataFrame, index_dir: str, resume: bool = True
+) -> DataFrame:
+    """Build per-partition segment files + manifests; returns manifest DF.
+
+    Tasks for partitions whose manifest already exists (resume) emit the
+    recorded manifest and skip all work — the S14/S15 checkpoint contract.
+    """
+    seg_dir = os.path.join(index_dir, "segments")
+    man_dir = os.path.join(index_dir, "manifests")
+    os.makedirs(seg_dir, exist_ok=True)
+    os.makedirs(man_dir, exist_ok=True)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pid = int(pdf["_pid"].iloc[0])
+        man_path = os.path.join(man_dir, f"partition_{pid}.json")
+        if resume and os.path.exists(man_path):
+            with open(man_path) as f:
+                m = json.load(f)
+            if m.get("n_docs") == len(pdf) and os.path.exists(m["segment_file"]):
+                m["status"] = "skipped"
+                yield pd.DataFrame([m])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
+                return
+        rows, stats = _build_segment_rows(pdf)
+        seg_file = os.path.join(seg_dir, f"seg_{pid}.parquet")
+        tmp = seg_file + f".tmp-{uuid.uuid4().hex}"
+        table = pa.table(
+            {
+                "term": rows["term"],
+                "pid": pa.array([pid] * len(rows["term"]), pa.int32()),
+                **{k: rows[k] for k in ("df", "cf", "min_doc", "max_doc")},
+                **{k: pa.array(rows[k], pa.binary()) for k in ("docids", "tfs", "block_last", "block_max_tf")},
+            },
+            schema=SEGMENT_SCHEMA,
+        )
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, seg_file)  # segment durable BEFORE manifest
+        manifest = dict(pid=pid, **stats, segment_file=seg_file, status="built")
+        mtmp = man_path + f".tmp-{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, man_path)
+        yield pd.DataFrame([manifest])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
+
+    return corpus_with_ids.mapInPandas(build, schema=MANIFEST_ROW_SCHEMA)
+
+
+def build_doc_meta(corpus_with_ids: DataFrame, index_dir: str) -> None:
+    """Forward index (miru's activity index analog,
+    miru-plugin/.../index/MiruActivityIndex.java:16-45): doc_id → stored
+    fields + doc length (token count, JVM-side — no Python)."""
+    from miru_spark.analyzer import tokens_col
+
+    (
+        corpus_with_ids.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.size(tokens_col("content")).cast("int").alias("doc_len"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "doc_meta"))
+    )
+
+
+def build_field_filters(spark: SparkSession, index_dir: str) -> None:
+    """lang/repo filter sets: field value → compressed sorted docID set.
+
+    The analog of miru's per-term Roaring filter bitmaps / authz index
+    (miru-plugin/.../index/MiruAuthzIndex.java:9-13); AND/OR/ANDNOT against
+    candidate doc sets at query time. Low-cardinality fields only.
+    """
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    out_schema = T.StructType(
+        [
+            T.StructField("field", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("doc_ids", T.BinaryType()),
+        ]
+    )
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            [{"field": key[0], "value": key[1], "n": len(ids), "doc_ids": encode_id_set(ids)}]
+        )
+
+    frames = []
+    for field in ("lang", "repo"):
+        kv = meta.select(F.lit(field).alias("field"), F.col(field).alias("value"), "doc_id")
+        frames.append(kv.groupBy("field", "value").applyInPandas(enc, schema=out_schema))
+    out = frames[0].unionAll(frames[1])
+    out.write.mode("overwrite").parquet(os.path.join(index_dir, "filters"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    num_partitions: int = 8,
+    resume: bool = True,
+    check_sha256: bool = True,
+) -> dict:
+    """End-to-end build: verify sha → docIDs → segments → doc meta → filters
+    → merge (miru_spark.index.merge) → stats. Returns build summary."""
+    from miru_spark.index.merge import merge_segments
+
+    if check_sha256 and "sha256" in corpus.columns:
+        mismatches = verify_sha256(corpus)
+        if mismatches:
+            raise ValueError(f"sha256(content) mismatch on {mismatches} rows")
+
+    with_ids, _ = assign_doc_ids(corpus, num_partitions)
+    manifests = build_segments(with_ids, index_dir, resume=resume).collect()
+    build_doc_meta(with_ids, index_dir)
+    build_field_filters(spark, index_dir)
+    summary = merge_segments(spark, index_dir)
+    summary["partitions"] = len(manifests)
+    summary["skipped_partitions"] = sum(1 for m in manifests if m["status"] == "skipped")
+    summary["n_docs"] = sum(m["n_docs"] for m in manifests)
+    summary["n_tokens"] = sum(m["n_tokens"] for m in manifests)
+    with open(os.path.join(index_dir, "build_summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary

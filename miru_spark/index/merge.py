@@ -1,0 +1,124 @@
+"""Hierarchical segment merge with explicit head-term salting + global stats.
+
+miru merges posting deltas into its LSM per "atomized" container key so a
+merge only touches the tail (LabInvertedIndex.java:87-150); our partitions own
+disjoint ascending docID ranges, so merging a term is pure concatenation of
+its per-partition runs in pid order — no re-sort (same insight, SURVEY.md §4).
+
+Skew (the thing miru never faced, single-node): a head term like ``def``
+appears in >50% of docs; a naive groupBy(term) sends ALL its postings to one
+reducer. We salt explicitly: each term is merged into
+``ceil(total_pids / span)`` shard rows where ``span`` shrinks as the term's
+df grows, and ``shard = pid // span`` — so every shard covers a CONTIGUOUS
+pid range (→ contiguous docID range, delta encoding stays tight, block-max
+skipping stays valid) and no reduce task sees more than ~TARGET_POSTINGS
+postings. Rare terms get one row. Global (term, df, cf) stats come from a
+cheap pre-aggregation of the per-segment partial counts — map-side combined
+by Catalyst, never touching posting payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.codec import decode_postings, encode_postings
+
+TARGET_POSTINGS_PER_SHARD = 250_000
+
+MERGED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("docids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("block_last", T.BinaryType()),
+        T.StructField("block_max_tf", T.BinaryType()),
+    ]
+)
+
+
+def merge_segments(spark: SparkSession, index_dir: str) -> dict:
+    """segments/*.parquet → merged/ + stats/ + corpus_stats.json."""
+    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    n_pids = seg.select(F.max("pid")).first()[0] + 1
+
+    # global per-term stats (partial sums per segment row → tiny shuffle)
+    stats = seg.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+
+    # span per term: contiguous pid ranges per shard, sized to bound skew
+    span_col = F.greatest(
+        F.lit(1),
+        (F.lit(n_pids) / F.ceil(F.col("df") / F.lit(TARGET_POSTINGS_PER_SHARD))).cast("int"),
+    )
+    term_span = stats.select("term", span_col.alias("span"))
+
+    salted = seg.join(term_span, "term").withColumn(
+        "shard", (F.col("pid") / F.col("span")).cast("int")
+    )
+
+    def merge_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid")  # pid order == docID order (disjoint ranges)
+        docs = []
+        tfs = []
+        for db, tb in zip(pdf["docids"], pdf["tfs"]):
+            d, t = decode_postings(db, tb)
+            docs.append(d)
+            tfs.append(t)
+        d = np.concatenate(docs)
+        t = np.concatenate(tfs)
+        docids_b, tfs_b, bl_b, bmt_b = encode_postings(d, t)
+        return pd.DataFrame(
+            [
+                {
+                    "term": key[0],
+                    "shard": int(key[1]),
+                    "df": int(d.size),
+                    "cf": int(t.sum()),
+                    "min_doc": int(d[0]),
+                    "max_doc": int(d[-1]),
+                    "docids": docids_b,
+                    "tfs": tfs_b,
+                    "block_last": bl_b,
+                    "block_max_tf": bmt_b,
+                }
+            ]
+        )
+
+    merged = salted.groupBy("term", "shard").applyInPandas(merge_one, schema=MERGED_SCHEMA)
+    (
+        merged.repartitionByRange(max(8, n_pids), "term")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "merged"))
+    )
+
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    agg = meta.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"), F.max("doc_id").alias("max_doc")
+    ).first()
+    n_terms = stats.count()
+    corpus_stats = {
+        "n_docs": int(agg["n"]),
+        "avgdl": float(agg["avgdl"]),
+        "max_doc_id": int(agg["max_doc"]),
+        "n_terms": int(n_terms),
+        "n_pids": int(n_pids),
+    }
+    with open(os.path.join(index_dir, "corpus_stats.json"), "w") as f:
+        json.dump(corpus_stats, f)
+    return dict(corpus_stats)

@@ -1,0 +1,214 @@
+"""Query parser: the grammar subset miru's LuceneBackedQueryParser accepts,
+compiled to the same AST shape miru uses (MiruFilter trees with and/or/pButNotQ,
+miru-api/.../filter/MiruFilterOperation.java:10-22; parser mapping MUST→and,
+SHOULD→or, MUST_NOT→pButNotQ in
+miru-plugin/.../query/LuceneBackedQueryParser.java:76-144). Default operator
+is AND (:51), so ``a b`` == ``a AND b``. No Lucene dependency — a ~70-line
+recursive-descent parser over ``term``, ``pre*``, AND/OR/NOT, parentheses.
+
+Query-side text goes through the SAME analyzer as index time (the Q2 parity
+requirement): each bare word is tokenized; a word that splits into multiple
+tokens becomes a conjunction of them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from miru_spark.analyzer import tokenize_one
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Prefix:
+    prefix: str
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Not:
+    """pButNotQ: match positive, exclude negative (MiruFilterOperation.java:18)."""
+
+    positive: object
+    negative: object
+
+
+Node = object
+
+
+def _tokenize_query(q: str) -> list[str]:
+    out: list[str] = []
+    cur = ""
+    for ch in q:
+        if ch in "()":
+            if cur:
+                out.append(cur)
+                cur = ""
+            out.append(ch)
+        elif ch.isspace():
+            if cur:
+                out.append(cur)
+                cur = ""
+        else:
+            cur += ch
+    if cur:
+        out.append(cur)
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of query (unbalanced parentheses?)")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_or(self) -> Node:
+        left = self.parse_and()
+        parts = [left]
+        while self.peek() is not None and self.peek().upper() == "OR":
+            self.next()
+            parts.append(self.parse_and())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def parse_and(self) -> Node:
+        parts = [self.parse_unary()]
+        while True:
+            p = self.peek()
+            if p is None or p == ")" or p.upper() == "OR":
+                break
+            if p.upper() == "AND":
+                self.next()
+                continue
+            parts.append(self.parse_unary())
+        # fold NOTs: a AND NOT b -> Not(a, b)  (pButNotQ wrap, parser.java:111-144)
+        positives = [p for p in parts if not isinstance(p, _Neg)]
+        negatives = [p.node for p in parts if isinstance(p, _Neg)]
+        pos: Node
+        if not positives:
+            raise ValueError("pure-negative query not supported (matches everything)")
+        pos = positives[0] if len(positives) == 1 else And(tuple(positives))
+        for n in negatives:
+            pos = Not(pos, n)
+        return pos
+
+    def parse_unary(self) -> Node:
+        p = self.peek()
+        if p is not None and p.upper() == "NOT":
+            self.next()
+            return _Neg(self.parse_unary())
+        return self.parse_atom()
+
+    def parse_atom(self) -> Node:
+        t = self.next()
+        if t == "(":
+            node = self.parse_or()
+            if self.peek() == ")":
+                self.next()
+            return node
+        if t.endswith("*") and len(t) > 1:
+            toks = tokenize_one(t[:-1])
+            base = "".join(toks)
+            return Prefix(base)
+        toks = tokenize_one(t)
+        if not toks:
+            raise ValueError(f"query word {t!r} tokenizes to nothing")
+        if len(toks) == 1:
+            return Term(toks[0])
+        return And(tuple(Term(x) for x in toks))
+
+
+@dataclass
+class _Neg:
+    node: Node
+
+
+def parse_query(q: str) -> Node:
+    toks = _tokenize_query(q)
+    if not toks:
+        raise ValueError("empty query")
+    p = _Parser(toks)
+    node = p.parse_or()
+    if isinstance(node, _Neg):
+        raise ValueError("pure-negative query not supported")
+    return node
+
+
+def positive_terms(node: Node) -> set[str]:
+    """Terms that contribute BM25 score (everything not under a NOT's
+    negative side — matches miru's termCollector which only collects from
+    positive filter context, MiruAggregateUtil.java:1149,1204-1220)."""
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Prefix):
+        return set()
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= positive_terms(c)
+        return out
+    if isinstance(node, Not):
+        return positive_terms(node.positive)
+    raise TypeError(type(node))
+
+
+def all_terms(node: Node) -> set[str]:
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Prefix):
+        return set()
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= all_terms(c)
+        return out
+    if isinstance(node, Not):
+        return all_terms(node.positive) | all_terms(node.negative)
+    raise TypeError(type(node))
+
+
+def prefixes(node: Node) -> set[str]:
+    if isinstance(node, Prefix):
+        return {node.prefix}
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= prefixes(c)
+        return out
+    if isinstance(node, Not):
+        return prefixes(node.positive) | prefixes(node.negative)
+    return set()
+
+
+def positive_prefixes(node: Node) -> set[str]:
+    if isinstance(node, Prefix):
+        return {node.prefix}
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= positive_prefixes(c)
+        return out
+    if isinstance(node, Not):
+        return positive_prefixes(node.positive)
+    return set()

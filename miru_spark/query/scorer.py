@@ -1,0 +1,386 @@
+"""BM25 top-k over the merged index: distributed DataFrame path + local path.
+
+Replaces miru's TF-IDF scorer (miru-stream-plugins/.../fulltext/FullText.java:99-220,
+multiplier = queryCount/collectionFrequency at :118-127, per-doc accumulation
+:188-199, bounded top-k heap :129-132) with BM25 per the north rule:
+``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)``,
+``tf_norm = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))``, k1=1.2, b=0.75.
+Tie order is miru's: (score desc, docID desc) (FullText.java:294-303).
+
+Two execution paths, rank-identical by test:
+
+- ``search_distributed``: the throughput path. Pure DataFrame program —
+  postings for ONLY the query terms are read (parquet predicate pushdown on
+  the term-range-partitioned merged index), decoded by a vectorized
+  mapInPandas, joined to doc lengths, aggregated per doc, boolean-filtered
+  by the query AST, ``orderBy(desc(score), desc(doc_id)).limit(k)``.
+  Scales to any corpus: no driver materialization, Catalyst/AQE handle the
+  joins; skew on head terms is bounded because merged rows are pre-sharded
+  (merge.py salting).
+
+- ``search_local``: the serving-latency path. pyarrow reads only the posting
+  rows of the query terms; numpy set algebra evaluates the filter AST
+  (AND = intersect, OR = union, pButNotQ = setdiff — the same bitmap algebra
+  as miru's MiruBitmapsRoaring.java:162-436, on sorted int arrays instead of
+  roaring containers); MaxScore term-level pruning skips whole terms that
+  cannot reach the current kth score (the generalization of miru's
+  `considerIfLastIdGreaterThanN` pruning, MiruAggregateUtil.java:1130,1181).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.codec import decode_id_set, decode_postings
+from miru_spark.query import parser as qp
+
+K1 = 1.2
+B = 0.75
+MAX_WILDCARD_EXPANSION = 1000  # miru's maxWildcardExpansion cap (MiruAggregateUtil.java:1158-1166)
+
+
+def bm25_idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
+    return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_tf_norm(tf, doc_len, avgdl):
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc_len / avgdl))
+
+
+@dataclass
+class IndexHandle:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+
+    @classmethod
+    def open(cls, index_dir: str) -> "IndexHandle":
+        with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+            cs = json.load(f)
+        return cls(index_dir, cs["n_docs"], cs["avgdl"])
+
+
+def expand_prefixes(index_dir: str, prefix_set: set[str]) -> dict[str, list[str]]:
+    """Prefix → matching dictionary terms (deterministic: term-sorted, capped).
+    Uses the stats table (the term dictionary), pyarrow range pushdown."""
+    out: dict[str, list[str]] = {}
+    if not prefix_set:
+        return out
+    ds = pads.dataset(os.path.join(index_dir, "stats"))
+    for p in prefix_set:
+        hi = p + "￿"
+        t = ds.to_table(columns=["term"], filter=(pads.field("term") >= p) & (pads.field("term") < hi))
+        terms = sorted(x for x in t.column("term").to_pylist() if x.startswith(p))
+        out[p] = terms[:MAX_WILDCARD_EXPANSION]
+    return out
+
+
+# --------------------------------------------------------------------- local
+_DOCLEN_CACHE: dict[str, np.ndarray] = {}
+
+
+def _doclens(index_dir: str) -> np.ndarray:
+    """Dense docID → doc_len array. Driver-side cache — fine for the serving
+    path at partition scale; the distributed path joins instead."""
+    arr = _DOCLEN_CACHE.get(index_dir)
+    if arr is None:
+        ds = pads.dataset(os.path.join(index_dir, "doc_meta"))
+        t = ds.to_table(columns=["doc_id", "doc_len"])
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        lens = np.asarray(t.column("doc_len"), dtype=np.int64)
+        arr = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+        arr[ids] = lens
+        _DOCLEN_CACHE[index_dir] = arr
+    return arr
+
+
+def load_postings(index_dir: str, terms: set[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """term → (sorted docIDs, tfs); shards concatenated in shard order
+    (contiguous docID ranges by construction)."""
+    if not terms:
+        return {}
+    ds = pads.dataset(os.path.join(index_dir, "merged"))
+    t = ds.to_table(
+        columns=["term", "shard", "docids", "tfs"],
+        filter=pads.field("term").isin(sorted(terms)),
+    )
+    pdf = t.to_pandas().sort_values(["term", "shard"])
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        ds_, tf_ = [], []
+        for db, tb in zip(grp["docids"], grp["tfs"]):
+            d, tf = decode_postings(db, tb)
+            ds_.append(d)
+            tf_.append(tf)
+        out[term] = (np.concatenate(ds_), np.concatenate(tf_))
+    return out
+
+
+def load_filter_set(index_dir: str, field: str, values: list[str]) -> np.ndarray:
+    """OR of the compressed per-value docID sets (miru's getCompositeAuthz
+    pattern, miru-plugin/.../index/MiruAuthzIndex.java:13)."""
+    ds = pads.dataset(os.path.join(index_dir, "filters"))
+    t = ds.to_table(filter=(pads.field("field") == field) & (pads.field("value").isin(values)))
+    sets = [decode_id_set(b.as_py()) for b in t.column("doc_ids")]
+    if not sets:
+        return np.empty(0, dtype=np.int64)
+    out = sets[0]
+    for s in sets[1:]:
+        out = np.union1d(out, s)
+    return out
+
+
+def _eval_ast(node, postings, expansions) -> np.ndarray:
+    if isinstance(node, qp.Term):
+        return postings.get(node.term, (np.empty(0, dtype=np.int64),))[0]
+    if isinstance(node, qp.Prefix):
+        sets = [postings[t][0] for t in expansions.get(node.prefix, []) if t in postings]
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        out = sets[0]
+        for s in sets[1:]:
+            out = np.union1d(out, s)
+        return out
+    if isinstance(node, qp.And):
+        sets = sorted((_eval_ast(c, postings, expansions) for c in node.children), key=len)
+        out = sets[0]
+        for s in sets[1:]:
+            if out.size == 0:
+                return out  # abort-if-empty short circuit (MiruAggregateUtil.java:1143)
+            out = np.intersect1d(out, s, assume_unique=True)
+        return out
+    if isinstance(node, qp.Or):
+        out = np.empty(0, dtype=np.int64)
+        for c in node.children:
+            out = np.union1d(out, _eval_ast(c, postings, expansions))
+        return out
+    if isinstance(node, qp.Not):
+        pos = _eval_ast(node.positive, postings, expansions)
+        neg = _eval_ast(node.negative, postings, expansions)
+        return np.setdiff1d(pos, neg, assume_unique=True)
+    raise TypeError(type(node))
+
+
+def _score_candidates(cand, scoring_terms, postings, doclens, n_docs, avgdl):
+    scores = np.zeros(cand.size, dtype=np.float64)
+    dl = doclens[cand]
+    for term in sorted(scoring_terms):  # fixed accumulation order → reproducible floats
+        if term not in postings:
+            continue
+        d, tf = postings[term]
+        pos = np.searchsorted(d, cand)
+        pos_c = np.minimum(pos, d.size - 1)
+        mask = (pos < d.size) & (d[pos_c] == cand)
+        if not mask.any():
+            continue
+        idf = bm25_idf(float(d.size), n_docs)
+        scores[mask] += idf * bm25_tf_norm(tf[pos_c[mask]].astype(np.float64), dl[mask].astype(np.float64), avgdl)
+    return scores
+
+
+def _maxscore_candidates(scoring_terms, postings, k, n_docs, doclens, avgdl):
+    """MaxScore: for pure disjunctions, docs appearing ONLY in terms whose
+    summed upper bounds cannot reach the (exact) kth single-term score of the
+    strongest term are never top-k candidates. Returns the candidate array."""
+    ubs = {}
+    for t in scoring_terms:
+        if t not in postings:
+            continue
+        d, tf = postings[t]
+        max_tf = float(tf.max())
+        # doc_len→0 maximizes tf_norm: tf*(k1+1)/(tf + k1*(1-b))
+        ubs[t] = bm25_idf(float(d.size), n_docs) * (max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B)))
+    if not ubs:
+        return np.empty(0, dtype=np.int64)
+    order = sorted(ubs, key=lambda t: -ubs[t])
+    d0, tf0 = postings[order[0]]
+    if d0.size <= k:
+        theta = 0.0
+    else:
+        # exact single-term scores of the strongest term are a valid lower
+        # bound on the final kth-best total score (contributions are >= 0)
+        s = bm25_idf(float(d0.size), n_docs) * bm25_tf_norm(
+            tf0.astype(np.float64), doclens[d0].astype(np.float64), avgdl
+        )
+        theta = float(np.partition(s, s.size - k)[s.size - k])
+    essential, acc = [], 0.0
+    for t in reversed(order):  # ascending ub
+        acc += ubs[t]
+        if theta <= 0.0 or acc >= theta:  # >= : a doc reaching exactly theta can tie in
+            essential.append(t)
+    sets = [postings[t][0] for t in essential]
+    out = sets[0]
+    for s_ in sets[1:]:
+        out = np.union1d(out, s_)
+    return out
+
+
+def search_local(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    lang_filter: list[str] | None = None,
+    repo_filter: list[str] | None = None,
+    gather: bool = True,
+) -> pd.DataFrame:
+    """Serving path: parse → numpy set algebra → BM25 → top-k heap → gather."""
+    h = IndexHandle.open(index_dir)
+    ast = qp.parse_query(query)
+    expansions = expand_prefixes(index_dir, qp.prefixes(ast))
+    needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
+    postings = load_postings(index_dir, needed)
+
+    scoring_terms = qp.positive_terms(ast) | {
+        t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
+    }
+    pure_or = isinstance(ast, (qp.Term, qp.Or)) and all(
+        isinstance(c, qp.Term) for c in getattr(ast, "children", ())
+    )
+    doclens = _doclens(index_dir)
+    if pure_or and not lang_filter and not repo_filter and len(scoring_terms) > 1:
+        cand = _maxscore_candidates(scoring_terms, postings, k, h.n_docs, doclens, h.avgdl)
+    else:
+        cand = _eval_ast(ast, postings, expansions)
+    if lang_filter:
+        cand = np.intersect1d(cand, load_filter_set(index_dir, "lang", lang_filter), assume_unique=True)
+    if repo_filter:
+        cand = np.intersect1d(cand, load_filter_set(index_dir, "repo", repo_filter), assume_unique=True)
+    if cand.size == 0:
+        return pd.DataFrame(columns=["doc_id", "score", "repo", "path", "commit", "lang"])
+
+    scores = _score_candidates(cand, scoring_terms, postings, doclens, h.n_docs, h.avgdl)
+    kk = min(k, cand.size)
+    order = np.lexsort((cand, scores))[::-1][:kk]  # (score desc, docID desc)
+    top = pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+    if gather:  # lazy gather of stored fields (miru's Promise gather, FullText.java:204-218)
+        ds = pads.dataset(os.path.join(index_dir, "doc_meta"))
+        meta = ds.to_table(filter=pads.field("doc_id").isin(top["doc_id"].tolist())).to_pandas()
+        top = top.merge(meta[["doc_id", "repo", "path", "commit", "lang"]], on="doc_id", how="left")
+    return top.reset_index(drop=True)
+
+
+# --------------------------------------------------------------- distributed
+_POSTING_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+    ]
+)
+
+
+def _ast_to_condition(node, expansions) -> F.Column:
+    """AST → boolean Column over the per-doc matched-terms set column `mts`."""
+    if isinstance(node, qp.Term):
+        return F.array_contains("mts", node.term)
+    if isinstance(node, qp.Prefix):
+        terms = expansions.get(node.prefix, [])
+        if not terms:
+            return F.lit(False)
+        return F.arrays_overlap("mts", F.array(*[F.lit(t) for t in terms]))
+    if isinstance(node, qp.And):
+        out = F.lit(True)
+        for c in node.children:
+            out = out & _ast_to_condition(c, expansions)
+        return out
+    if isinstance(node, qp.Or):
+        out = F.lit(False)
+        for c in node.children:
+            out = out | _ast_to_condition(c, expansions)
+        return out
+    if isinstance(node, qp.Not):
+        return _ast_to_condition(node.positive, expansions) & ~_ast_to_condition(
+            node.negative, expansions
+        )
+    raise TypeError(type(node))
+
+
+def search_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    lang_filter: list[str] | None = None,
+    repo_filter: list[str] | None = None,
+) -> DataFrame:
+    """Throughput path: one declarative plan over the merged index.
+
+    Reads only the query terms' posting rows (pushdown on the range-
+    partitioned `term` column), decodes them with a vectorized mapInPandas,
+    joins doc lengths, sums BM25 contributions per doc, evaluates the query
+    AST as a boolean filter, and takes the global top-k. Everything after the
+    decode is Catalyst-planned (hash aggregate + TakeOrderedAndProject).
+    """
+    h = IndexHandle.open(index_dir)
+    ast = qp.parse_query(query)
+    expansions = expand_prefixes(index_dir, qp.prefixes(ast))
+    needed = sorted(qp.all_terms(ast) | {t for ts in expansions.values() for t in ts})
+    scoring = qp.positive_terms(ast) | {
+        t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
+    }
+    if not needed:
+        return spark.createDataFrame([], "doc_id long, score double, repo string, path string, commit string, lang string")
+
+    merged = spark.read.parquet(os.path.join(index_dir, "merged")).filter(
+        F.col("term").isin(needed)
+    )
+
+    def explode_postings(batches):
+        for pdf in batches:
+            for term, db, tb in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
+                d, tf = decode_postings(db, tb)
+                yield pd.DataFrame({"term": term, "doc_id": d, "tf": tf.astype(np.int32)})
+
+    hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
+
+    # per-term idf from global stats (tiny — driver lookup, broadcast via literal map)
+    stats = (
+        spark.read.parquet(os.path.join(index_dir, "stats"))
+        .filter(F.col("term").isin(needed))
+        .select("term", "df")
+    )
+    stats = stats.withColumn(
+        "idf", F.log((F.lit(h.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    scored = (
+        hits.join(F.broadcast(stats), "term")
+        .join(meta.select("doc_id", "doc_len", "repo", "path", "commit", "lang"), "doc_id")
+        .withColumn(
+            "contrib",
+            F.when(
+                F.col("term").isin(sorted(scoring)),
+                F.col("idf")
+                * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / h.avgdl)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.collect_set("term").alias("mts"),
+        F.sum("contrib").alias("score"),
+        F.first("repo").alias("repo"),
+        F.first("path").alias("path"),
+        F.first("commit").alias("commit"),
+        F.first("lang").alias("lang"),
+    )
+    out = agg.filter(_ast_to_condition(ast, expansions))
+    if lang_filter:
+        out = out.filter(F.col("lang").isin(lang_filter))
+    if repo_filter:
+        out = out.filter(F.col("repo").isin(repo_filter))
+    return (
+        out.select("doc_id", "score", "repo", "path", "commit", "lang")
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from miru_spark.codec import (
+    BLOCK_SIZE,
+    decode_block_meta,
+    decode_id_set,
+    decode_postings,
+    decode_varint,
+    encode_id_set,
+    encode_postings,
+    encode_varint,
+)
+
+
+def test_varint_roundtrip_small():
+    v = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63 - 1], dtype=np.uint64)
+    assert (decode_varint(encode_varint(v)) == v).all()
+
+
+def test_varint_empty():
+    assert encode_varint(np.empty(0, dtype=np.uint64)) == b""
+    assert decode_varint(b"").size == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+def test_varint_roundtrip_property(xs):
+    v = np.array(xs, dtype=np.uint64)
+    assert (decode_varint(encode_varint(v)) == v).all()
+
+
+def test_postings_roundtrip():
+    rng = np.random.default_rng(7)
+    docs = np.unique(rng.integers(0, 10**6, size=1000)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=docs.size).astype(np.int64)
+    db, tb, bl, bmt = encode_postings(docs, tfs)
+    d2, t2 = decode_postings(db, tb)
+    assert (d2 == docs).all()
+    assert (t2 == tfs).all()
+    last, maxtf = decode_block_meta(bl, bmt)
+    n_blocks = (docs.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert last.size == n_blocks == maxtf.size
+    assert last[-1] == docs[-1]
+    for i in range(n_blocks):
+        blk = tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]
+        assert maxtf[i] == blk.max()
+        assert last[i] == docs[min((i + 1) * BLOCK_SIZE, docs.size) - 1]
+
+
+def test_id_set_roundtrip():
+    ids = np.array([0, 5, 6, 1000, 10**9], dtype=np.int64)
+    assert (decode_id_set(encode_id_set(ids)) == ids).all()
+
+
+def test_compression_is_compact():
+    docs = np.arange(0, 100_000, dtype=np.int64)  # delta=1 → 1 byte each
+    tfs = np.ones(docs.size, dtype=np.int64)
+    db, tb, _, _ = encode_postings(docs, tfs)
+    assert len(db) < docs.size * 1.1
+    assert len(tb) == docs.size

@@ -1,0 +1,72 @@
+"""End-to-end: build index on the deterministic corpus, run the reference
+query set (FIXTURES.md F2), assert rank-identical top-k vs the brute-force
+oracle on BOTH execution paths (local serving + distributed DataFrame)."""
+
+import numpy as np
+import pytest
+
+from miru_spark.corpus import reference_query_set
+from miru_spark.index.build import assign_doc_ids
+from miru_spark.query.oracle import oracle_topk
+from miru_spark.query.scorer import search_distributed, search_local
+
+
+def _assert_rank_identical(got, expected, qid):
+    g = [(int(d), round(float(s), 6)) for d, s in zip(got["doc_id"], got["score"])]
+    e = [(int(d), round(float(s), 6)) for d, s in zip(expected["doc_id"], expected["score"])]
+    assert [x[0] for x in g] == [x[0] for x in e], f"qid={qid}: docIDs differ\n{g}\n{e}"
+    for (gd, gs), (ed, es) in zip(g, e):
+        assert abs(gs - es) <= 1e-6 * max(1.0, abs(es)), f"qid={qid} doc={gd}: {gs} vs {es}"
+
+
+@pytest.fixture(scope="module")
+def corpus_with_ids(spark, tiny_corpus):
+    df, _ = assign_doc_ids(tiny_corpus, 4)
+    df = df.persist()
+    df.count()
+    return df
+
+
+def test_build_summary(tiny_index, spark):
+    import json, os
+
+    with open(os.path.join(tiny_index, "build_summary.json")) as f:
+        s = json.load(f)
+    assert s["n_docs"] == 200
+    assert s["partitions"] == 4
+    assert s["n_terms"] > 30
+
+
+def test_docids_are_stable_across_parallelism(spark, tiny_corpus):
+    """north rule: docIDs derive from (repo,path,commit) rank — identical at
+    any partitioning (SURVEY.md §7.4b)."""
+    a, _ = assign_doc_ids(tiny_corpus, 2)
+    b, _ = assign_doc_ids(tiny_corpus, 8)
+    pa_ = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in a.collect()}
+    pb = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
+    assert pa_ == pb
+
+
+@pytest.mark.parametrize("q", reference_query_set(), ids=lambda q: f"qid{q['qid']}")
+def test_local_matches_oracle(q, tiny_index, corpus_with_ids):
+    got = search_local(tiny_index, q["query"], k=q["k"], lang_filter=q["lang_filter"], repo_filter=q["repo_filter"])
+    exp = oracle_topk(corpus_with_ids, q["query"], k=q["k"], lang_filter=q["lang_filter"], repo_filter=q["repo_filter"]).toPandas()
+    _assert_rank_identical(got, exp, q["qid"])
+
+
+@pytest.mark.parametrize(
+    "q",
+    [x for x in reference_query_set() if x["qid"] in (1, 3, 5, 6, 7, 8, 12)],
+    ids=lambda q: f"qid{q['qid']}",
+)
+def test_distributed_matches_oracle(q, tiny_index, corpus_with_ids, spark):
+    got = search_distributed(
+        spark, tiny_index, q["query"], k=q["k"], lang_filter=q["lang_filter"], repo_filter=q["repo_filter"]
+    ).toPandas()
+    exp = oracle_topk(corpus_with_ids, q["query"], k=q["k"], lang_filter=q["lang_filter"], repo_filter=q["repo_filter"]).toPandas()
+    _assert_rank_identical(got, exp, q["qid"])
+
+
+def test_zero_hit_query(tiny_index):
+    out = search_local(tiny_index, "zebra AND merge")
+    assert len(out) == 0

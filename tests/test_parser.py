@@ -1,0 +1,63 @@
+import pytest
+
+from miru_spark.query.parser import (
+    And,
+    Not,
+    Or,
+    Prefix,
+    Term,
+    all_terms,
+    parse_query,
+    positive_terms,
+    prefixes,
+)
+
+
+def test_single_term():
+    assert parse_query("foo") == Term("foo")
+
+
+def test_case_folded():
+    assert parse_query("FOO") == Term("foo")
+
+
+def test_implicit_and():
+    assert parse_query("a b") == And((Term("a"), Term("b")))
+
+
+def test_explicit_and_or():
+    assert parse_query("a AND b") == And((Term("a"), Term("b")))
+    assert parse_query("a OR b") == Or((Term("a"), Term("b")))
+
+
+def test_precedence_and_parens():
+    # AND binds tighter than OR (per Lucene default)
+    assert parse_query("a AND b OR c") == Or((And((Term("a"), Term("b"))), Term("c")))
+    assert parse_query("a AND (b OR c)") == And((Term("a"), Or((Term("b"), Term("c")))))
+
+
+def test_not():
+    q = parse_query("a AND NOT b")
+    assert q == Not(Term("a"), Term("b"))
+    q2 = parse_query("a b NOT c")
+    assert q2 == Not(And((Term("a"), Term("b"))), Term("c"))
+
+
+def test_pure_negative_rejected():
+    with pytest.raises(ValueError):
+        parse_query("NOT a")
+
+
+def test_prefix():
+    assert parse_query("pre*") == Prefix("pre")
+
+
+def test_multi_token_word_becomes_conjunction():
+    assert parse_query("foo-bar") == And((Term("foo"), Term("bar")))
+
+
+def test_term_collectors():
+    q = parse_query("a AND b OR c AND NOT d")
+    assert positive_terms(q) == {"a", "b", "c"}
+    assert all_terms(q) == {"a", "b", "c", "d"}
+    assert prefixes(parse_query("a AND pre*")) == {"pre"}
