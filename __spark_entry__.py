@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps every implemented operator (SURVEY.md §2 + training-data
+pipeline ops) to a (spark, sf_dir) callable; `oracle_sql()` gives the exact
+DuckDB equivalent. Column names and rounding match pairwise so the driver's
+order-insensitive value-hash gate passes. Entries without an oracle are
+non-SQL-expressible (engine internals exercised elsewhere) and get the
+weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +14,396 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from miru_spark.analyzer import SPLIT_PATTERN
+from miru_spark.operators import fulltext as ft
+from miru_spark.operators import relational as rel
+from miru_spark.pipeline import dedup, similarity, text
+
+# ---------------------------------------------------------------- SQL snippets
+_TOKS = f"list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')"
+_TOK_CTE = f"tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)"
+_TOKARR_CTE = f"tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
+
+# BM25 over documents, parameterized by term list + conjunctive flag
+def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    nt_filter = f"WHERE nt = {len(terms)}" if conjunctive else ""
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+hits AS (SELECT * FROM tf WHERE term IN ({tlist})),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         sum(ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (h.tf * 2.2) / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))) AS s,
+         count(*) AS nt
+  FROM hits h JOIN dfs f USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY h.doc_id)
+SELECT doc_id, round(s, 6) AS score,
+       row_number() OVER (ORDER BY round(s, 6) DESC, doc_id DESC) AS rank
+FROM scored {nt_filter}
+QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
+_STOPWORDS_SQL = "['" + "', '".join(text.STOPWORDS) + "']"
+
+
+def _lang_id_sql() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, lang, '{lang}' AS cand, "
+        f"len(list_filter(toks, x -> list_contains(['"
+        + "', '".join(text.LANG_MARKERS[lang])
+        + "'], x))) AS hits FROM tokarr"
+        for lang in sorted(text.LANG_MARKERS)
+    )
+    return f"""
+WITH {_TOKARR_CTE},
+scores AS ({branches}),
+best AS (
+  SELECT doc_id, lang, cand AS lang_pred
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) = 1)
+SELECT lang, lang_pred, count(*)::BIGINT AS n FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_H12 = "('0x' || substr(md5({x}), 1, 12))::BIGINT"  # portable 48-bit hash
+
+
+# shingle CTE shared by ngram/minhash oracles (3-token shingles, distinct)
+_SHINGLE_CTE = f"""
+tokarr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+        FROM tokarr))
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build a REAL inverted index over sf0.001 documents and answer
+    a BM25 conjunction through the distributed query path."""
+    return ft.ft_engine_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext (SURVEY.md §2.3/2.6: Q1/F3/T1/T3 as DataFrame programs)
+        "ft_bm25_and": ft.ft_bm25_and,
+        "ft_bm25_or": ft.ft_bm25_or,
+        "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
+        "ft_tfidf_miru": ft.ft_tfidf_miru,
+        "ft_term_stats": ft.ft_term_stats,
+        "ft_conjunctive_count": ft.ft_conjunctive_count,
+        "ft_prefix_count": ft.ft_prefix_count,
+        # miru plugin analogs (§2.4 A-series, §2.2 F-series, §2.5 J, §2.6 T)
+        "distincts_gather": rel.distincts_gather,
+        "distinct_count": rel.distinct_count,
+        "aggregate_counts": rel.aggregate_counts,
+        "analytics_waveform": rel.analytics_waveform,
+        "anomaly_metrics": rel.anomaly_metrics,
+        "stumptown_tail": rel.stumptown_tail,
+        "trending_peaks": rel.trending_peaks,
+        "reco_collaborative": rel.reco_collaborative,
+        "filter_boolean": rel.filter_boolean,
+        "time_range_count": rel.time_range_count,
+        "topk_time": rel.topk_time,
+        "topn_per_group": rel.topn_per_group,
+        "gather_features": rel.gather_features,
+        "semi_join_orders": rel.semi_join_orders,
+        "anti_join_orders": rel.anti_join_orders,
+        "bloom_containment": rel.bloom_containment,
+        "pricing_summary": rel.pricing_summary,
+        "shipping_priority": rel.shipping_priority,
+        # training-data pipeline: dedup
+        "dedup_exact": dedup.dedup_exact,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        # similarity search
+        "cosine_topk": similarity.cosine_topk_bruteforce,
+        "ivf_topk": similarity.ivf_topk,  # approximate — rows-only check
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        "lsh_bucket_stats": similarity.lsh_bucket_stats,
+        # text analysis
+        "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
+        "lang_id": text.lang_id,
+        "doc_fingerprints": text.doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sigs = ", ".join(
+        "min(" + _H12.format(x="shingle || '#%d'" % i) + ") AS sig_%d" % i
+        for i in range(dedup.N_MINHASH)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig_{2*b}::VARCHAR || ':' || sig_{2*b+1}::VARCHAR AS bucket FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(dedup.N_MINHASH)
+    )
+    simhash_bits = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+    )
+    simhash_fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))
+    simhash_cte = f"""
+WITH {_TOK_CTE},
+tokh AS (SELECT doc_id, {_H12.format(x='term')} AS h FROM tok),
+bits AS (SELECT doc_id, {simhash_bits} FROM tokh GROUP BY doc_id),
+fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
+"""
+    cos_expr = (
+        "list_dot_product(embedding::DOUBLE[], qv) / "
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv)))"
+    )
+    quality_expr = f"""
+  least(len(toks) / 100.0, 1.0) * 0.4
+  + (1.0 - len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) / greatest(len(toks), 1)) * 0.2
+  + least((CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t))) / len(toks) ELSE 0.0 END) / 8.0, 1.0) * 0.2
+  + (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) ELSE 0.0 END) * 0.2
+"""
+    return {
+        "ft_bm25_and": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
+        "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
+        "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
+        "ft_tfidf_miru": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+hits AS (SELECT * FROM tf WHERE term IN ('vector', 'window', 'stream')),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM hits GROUP BY 1),
+scored AS (SELECT doc_id, sum(h.tf / c.cf) AS s FROM hits h JOIN cf c USING (term) GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score,
+       row_number() OVER (ORDER BY round(s, 6) DESC, doc_id DESC) AS rank
+FROM scored QUALIFY rank <= 10 ORDER BY rank
+""",
+        "ft_term_stats": f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok GROUP BY term ORDER BY cf DESC, term LIMIT 20
+""",
+        "ft_conjunctive_count": f"""
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE lang IN ('en', 'de')
+  AND list_contains({_TOKS}, 'merge') AND list_contains({_TOKS}, 'sort')
+GROUP BY lang ORDER BY lang
+""",
+        "ft_prefix_count": f"""
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE len(list_filter({_TOKS}, t -> t LIKE 'sc%')) > 0
+GROUP BY lang ORDER BY lang
+""",
+        "distincts_gather": """
+SELECT DISTINCT event_type FROM events
+WHERE value > 50.0 AND event_type LIKE 'c%' ORDER BY event_type
+""",
+        "distinct_count": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "aggregate_counts": """
+WITH r AS (
+  SELECT event_type, event_id, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn_l,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn_o
+  FROM events),
+c AS (SELECT event_type, count(*)::BIGINT AS n,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS latest_ts
+      FROM events GROUP BY 1)
+SELECT c.event_type, c.n, l.event_id AS latest_event_id, o.event_id AS oldest_event_id, c.latest_ts
+FROM c JOIN r l ON l.event_type = c.event_type AND l.rn_l = 1
+       JOIN r o ON o.event_type = c.event_type AND o.rn_o = 1
+ORDER BY c.event_type
+""",
+        "analytics_waveform": """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS n
+FROM events WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "anomaly_metrics": """
+SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+       round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "stumptown_tail": """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, user_id,
+       round(value, 6) AS value
+FROM events WHERE event_type = 'error'
+ORDER BY ts DESC, event_id DESC LIMIT 20
+""",
+        "trending_peaks": """
+WITH wave AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+x AS (
+  SELECT event_type, bucket, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY bucket) AS prev,
+         lead(n) OVER (PARTITION BY event_type ORDER BY bucket) AS next
+  FROM wave)
+SELECT event_type, bucket, n FROM x WHERE n > prev AND n > next ORDER BY 1, 2
+""",
+        "reco_collaborative": """
+WITH bought AS (
+  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+mine AS (SELECT partkey FROM bought WHERE custkey = 1),
+others AS (
+  SELECT DISTINCT custkey FROM bought
+  WHERE partkey IN (SELECT partkey FROM mine) AND custkey <> 1)
+SELECT partkey, count(DISTINCT custkey)::BIGINT AS score
+FROM bought
+WHERE custkey IN (SELECT custkey FROM others)
+  AND partkey NOT IN (SELECT partkey FROM mine)
+GROUP BY partkey ORDER BY score DESC, partkey LIMIT 10
+""",
+        "filter_boolean": """
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE (event_type IN ('click', 'view') OR value > 90.0) AND NOT (user_id % 10 = 0)
+GROUP BY event_type ORDER BY event_type
+""",
+        "time_range_count": """
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY event_type ORDER BY event_type
+""",
+        "topk_time": """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, user_id
+FROM events WHERE event_type = 'purchase'
+ORDER BY ts DESC, event_id DESC LIMIT 10
+""",
+        "topn_per_group": """
+WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n,
+       row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id DESC) AS rank
+FROM c QUALIFY rank <= 3 ORDER BY event_type, rank
+""",
+        "gather_features": """
+SELECT event_type, user_id % 10 AS user_bucket, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "semi_join_orders": """
+SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0)
+GROUP BY 1 ORDER BY 1
+""",
+        "anti_join_orders": """
+SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48.0)
+GROUP BY 1 ORDER BY 1
+""",
+        "bloom_containment": """
+SELECT p_brand, p_type, count(*)::BIGINT AS n, round(avg(p_retailprice), 6) AS avg_price
+FROM part WHERE p_brand IN ('Brand#1', 'Brand#3')
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "shipping_priority": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS n, min(doc_id) AS keeper
+FROM documents GROUP BY 1 ORDER BY n DESC, content_hash LIMIT 20
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.5 - 1e-12
+ORDER BY id_a, id_b
+""",
+        "minhash_lsh_pairs": f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(({est}) / 8.0, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+ORDER BY id_a, id_b
+""",
+        "simhash_fingerprints": simhash_cte + "SELECT doc_id, simhash FROM fp ORDER BY doc_id",
+        "simhash_neardup_pairs": simhash_cte
+        + """,
+chunks AS (
+  SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 6)) & 63 AS ckey
+  FROM fp, (SELECT unnest([0, 1, 2]) AS c) c),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b
+""",
+        "cosine_topk": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label, round({cos_expr}, 6) AS cosine
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, label, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM s QUALIFY rank <= 10 ORDER BY rank
+""",
+        "embedding_neardup": f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95 - 1e-12
+ORDER BY id_a, id_b
+""",
+        "token_counts": f"""
+WITH {_TOKARR_CTE},
+flat AS (SELECT lang, unnest(toks) AS term FROM tokarr),
+a AS (SELECT lang, count(DISTINCT term)::BIGINT AS n_distinct_terms FROM flat GROUP BY 1),
+b AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS n_tokens,
+             sum(list_sum(list_transform(toks, t -> (length(t) + 3) // 4)))::BIGINT AS n_subwords
+      FROM tokarr GROUP BY 1)
+SELECT lang, n_docs, n_tokens, n_distinct_terms, n_subwords
+FROM a JOIN b USING (lang) ORDER BY lang
+""",
+        "quality_scores": f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, lang, len(toks)::INT AS n_tokens, round({quality_expr}, 6) AS quality
+FROM t ORDER BY round({quality_expr}, 6) ASC, doc_id ASC LIMIT 20
+""",
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprints": f"""
+WITH {_TOKARR_CTE}
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(array_to_string(toks, ' ')))::BIGINT AS n_distinct
+FROM tokarr GROUP BY lang ORDER BY lang
+""",
+        # lsh_bucket_stats / ivf_topk: deterministic but the hyperplane /
+        # centroid math is impractical as one SQL statement → rows-only check.
+    }

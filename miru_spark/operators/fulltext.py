@@ -1,0 +1,207 @@
+"""Fulltext operators over the driver's `documents` table.
+
+Two families:
+- pure DataFrame programs (tokenize JVM-side → explode → groupBy): these are
+  the Catalyst-planned equivalents of the index engine's math, used for the
+  DuckDB oracle gate;
+- an engine-backed entry (`ft_engine_bm25`) that builds a REAL inverted index
+  (miru_spark.index) over the documents table and answers through
+  search_distributed — proving index path == relational path == DuckDB.
+
+BM25 constants and tie order match the engine (query/scorer.py). Scores are
+rounded to 6 dp on both sides so the driver's value-hash is stable under
+float summation order.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from miru_spark.analyzer import tokens_col
+from miru_spark.query.scorer import B, K1
+
+QUERY_TERMS = ["merge", "sort"]  # fixed 2-term conjunction for the gate
+QUERY_TERMS_OR = ["vector", "window", "stream"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, doc_len) exploded relation — all JVM-side."""
+    with_tokens = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+    tf = with_tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = docs.select("doc_id", F.size(tokens_col("text")).alias("doc_len"))
+    return tf.join(dl, "doc_id")
+
+
+def _bm25_scored(docs: DataFrame, terms: list[str], conjunctive: bool) -> DataFrame:
+    n_docs = docs.count()
+    dt = _doc_terms(docs)
+    avgdl = docs.select(F.avg(F.size(tokens_col("text")))).first()[0]
+    hits = dt.filter(F.col("term").isin(terms))
+    df_stats = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_stats), "term")
+        .withColumn(
+            "idf", F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf") * (F.col("tf") * (K1 + 1.0)) / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
+    )
+    if conjunctive:
+        scored = scored.filter(F.col("nt") == len(terms))
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def ft_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10, conjunctive (miru FullText TF_IDF strategy with BM25 math,
+    FullTextCustomQuestion.java:53-118 lifecycle; tie (score desc, id desc))."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        _bm25_scored(docs, QUERY_TERMS, conjunctive=True)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )
+
+
+def ft_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10, disjunctive."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        _bm25_scored(docs, QUERY_TERMS_OR, conjunctive=False)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )
+
+
+def ft_tfidf_miru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """miru's ORIGINAL scoring, for parity: score(d) = Σ_t qcount(t)/CF(t)·tf(d,t)
+    with CF = global collection frequency stored at id=-1
+    (FullText.java:118-127 multiplier, :188-199 accumulation;
+    LabFieldIndex.java:474-476 global CF). qcount=1 per distinct query term."""
+    docs = _docs(spark, sf_dir)
+    dt = _doc_terms(docs)
+    hits = dt.filter(F.col("term").isin(QUERY_TERMS_OR))
+    cf = hits.groupBy("term").agg(F.sum("tf").alias("cf"))
+    w = Window.orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        hits.join(F.broadcast(cf), "term")
+        .withColumn("contrib", F.col("tf") / F.col("cf"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )
+
+
+def ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (term, df, cf) stats — miru's cardinality store + global CF
+    (LabFieldIndex.java:422-542). Top-20 by cf."""
+    docs = _docs(spark, sf_dir)
+    dt = _doc_terms(docs)
+    return (
+        dt.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("cf"))
+        .orderBy(F.desc("cf"), "term")
+        .limit(20)
+    )
+
+
+def ft_conjunctive_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs matching `merge AND sort` with a lang filter, counted per lang —
+    filter algebra + bitmap-filter pushdown analog (F3+F6)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    return (
+        docs.filter(
+            F.array_contains(toks, "merge")
+            & F.array_contains(toks, "sort")
+            & F.col("lang").isin("en", "de")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def ft_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query `sc*` (wildcard expansion, MiruAggregateUtil.java:1154-1167)
+    — docs with any matching token, per lang."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.exists(tokens_col("text"), lambda t: t.startswith("sc")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------- engine-backed path
+_ENGINE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _docs_as_corpus(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table to the engine's corpus shape. The key order
+    is (repo, path, commit); using a constant repo and the zero-padded dense
+    doc_id as path makes the engine's assigned docID EQUAL the table's doc_id,
+    so the engine's (score desc, docID desc) tie order coincides with the
+    oracle's (score desc, doc_id desc)."""
+    return docs.select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("doc/%010d", F.col("doc_id")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    )
+
+
+def build_documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) a real inverted index over the
+    documents table; returns the index dir."""
+    idx = _ENGINE_INDEX_CACHE.get(sf_dir)
+    if idx and os.path.exists(os.path.join(idx, "corpus_stats.json")):
+        return idx
+    from miru_spark.index.build import build_index
+
+    idx = os.path.join(tempfile.gettempdir(), "miru_idx_" + sf_dir.strip("/").replace("/", "_"))
+    corpus = _docs_as_corpus(_docs(spark, sf_dir))
+    build_index(spark, corpus, idx, num_partitions=8, resume=True)
+    _ENGINE_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL engine end-to-end on driver data: build inverted index over
+    documents, answer `merge AND sort` top-10 via search_distributed, map
+    docIDs back to the documents' own doc_id. Must hash-match the same DuckDB
+    BM25 SQL as the relational path — index ≡ relational ≡ oracle."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index(spark, sf_dir)
+    res = search_distributed(spark, idx, "merge AND sort", k=10)
+    w = Window.orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        res.withColumn("doc_id", F.substring("path", 5, 10).cast("long"))
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "rank")
+    )

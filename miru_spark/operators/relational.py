@@ -1,0 +1,294 @@
+"""miru's analytics/reco plugin operators as declarative DataFrame programs.
+
+Each function takes (spark, sf_dir) and returns a DataFrame over the driver's
+synthetic tables. These are the Spark-native rewrites of miru's hand-written
+bitmap programs (SURVEY.md §2.4-2.6): where miru loops a Roaring bitmap with
+an elimination heap, we declare the equivalent relational plan and let
+Catalyst pick hash aggregates / broadcast joins / TakeOrderedAndProject.
+
+Scale notes: every groupBy here is a map-side-combinable hash aggregate;
+joins against small dimensions are broadcast explicitly; top-N per group is
+a window over the group key (shuffles once on the key, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1/A4: Distincts.gather — distinct pivot values of a filtered doc set
+# (miru-reco-plugins/.../distincts/Distincts.java:41-141: filter → gather
+# distinct terms, optional prefix ranges). Bitmap elimination loop → built-in
+# hash-distinct with pushed predicates.
+def distincts_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("value") > 50.0) & F.col("event_type").startswith("c"))
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+# --- A5/A6: DistinctCount / Uniques (DistinctCount.java:30-113) — the
+# cross-partition dedup-by-report becomes a plain countDistinct shuffle.
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# --- A7: AggregateCounts (AggregateCounts.java:93-405) — per group: count,
+# latest doc, oldest doc. The newest-first elimination loop with cardinality
+# deltas → max_by/min_by aggregates (one pass, map-side combinable).
+def aggregate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("latest_event_id"),
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("oldest_event_id"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- A8: Analytics waveform (Analytics.java:57-201) — constraint mask then
+# boundedCardinalities over equal time segments → groupBy(window) counts.
+def analytics_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy(
+            F.col("event_type"), F.date_format(F.col("ts"), "yyyy-MM-dd").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+# --- A10: Anomaly/Metrics bit-sliced SUM/AVG (Anomaly.java:22-130) — the
+# per-bit cardinality*2^i trick exists only because miru lacks numeric
+# columns; Spark sums natively.
+def anomaly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("bucket"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- A11: Stumptown log tail (Stumptown.java:37-71) — last-K of filtered set
+# via descending iterator → orderBy desc + limit (TakeOrderedAndProject).
+def stumptown_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "user_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+# --- A9: Trending + PeakDet (TrendingQuestion.java:65-181, PeakDet.java:22-80)
+# — waveform per term, then local-max detection → window lag/lead.
+def trending_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wave = ev.groupBy(
+        "event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        wave.withColumn("prev", F.lag("n").over(w))
+        .withColumn("next", F.lead("n").over(w))
+        .filter((F.col("n") > F.col("prev")) & (F.col("n") > F.col("next")))
+        .select("event_type", "bucket", "n")
+        .orderBy("event_type", "bucket")
+    )
+
+
+# --- J3: CollaborativeFiltering 3-hop (CollaborativeFiltering.java:58-213):
+# my field1 terms → others sharing them (minus me) → their other field2
+# terms, scored by contributor counts, top-N. Three chained semi-joins +
+# grouped sum — classic Spark; the small "my terms" sides are broadcast.
+def reco_collaborative(spark: SparkSession, sf_dir: str, cust_key: int = 1) -> DataFrame:
+    """'customer bought X; who else bought X; what else did they buy' over
+    orders⋈lineitem — the exact 3-hop shape of miru's reco, with the same
+    top-N heap at the end (CollaborativeFiltering.java:129-146,205-207)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bought = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    mine = bought.filter(F.col("custkey") == cust_key).select("partkey")
+    others = (
+        bought.join(F.broadcast(mine), "partkey", "left_semi")
+        .filter(F.col("custkey") != cust_key)
+        .select("custkey")
+        .distinct()
+    )
+    return (
+        bought.join(others, "custkey", "left_semi")
+        .join(F.broadcast(mine), "partkey", "left_anti")  # exclude already-seen
+        .groupBy("partkey")
+        .agg(F.countDistinct("custkey").alias("score"))
+        .orderBy(F.desc("score"), "partkey")
+        .limit(10)
+    )
+
+
+# --- F1/F3: boolean filter algebra and/or/pButNotQ
+# (MiruFilterOperation.java:10-22, evaluator MiruAggregateUtil.java:1098-1241)
+# — Column expression tree; Catalyst folds/pushes it into the scan.
+def filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = F.col("event_type").isin("click", "view") | (F.col("value") > 90.0)
+    q = F.col("user_id") % 10 == 0  # pButNotQ: p AND NOT q
+    return (
+        ev.filter(p & ~q)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --- F4: time-range mask (MiruBitmapsRoaring.java:506-521) — binary-searched
+# docID range flip → plain BETWEEN predicate, pushed to the parquet scan.
+def time_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10")) & (F.col("ts") < F.lit("2024-01-20"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --- T2: TIME-strategy top-k (FullText.java:222-251) — newest-K, score 0.
+def topk_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+        .select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"), "user_id")
+    )
+
+
+# --- T5: generic per-group top-N heaps (MinMaxPriorityQueue uses across
+# reco/catwalk) → window row_number <= N.
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.desc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    )
+
+
+# --- A3: gatherFeatures co-occurrence counting (MiruAggregateUtil.java:77-304)
+# — distinct feature-combo counts per answer term → one grouped count.
+def gather_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "user_bucket")
+    )
+
+
+# --- J1: term IN-list semi-join (orMultiTx, MiruBitmapsRoaring.java:207-218).
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    big = lineitem.filter(F.col("l_quantity") > 45.0).select("l_orderkey").distinct()
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- J2: anti-join / ANDNOT (andNotTx, MiruBitmapsRoaring.java:276-409).
+def anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with NO high-quantity lineitem (ANDNOT over the doc-set)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48.0)
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- J6: bloom-accelerated containment (BloomIndex.java:75-131) → isin /
+# broadcast IN-list (Spark also exposes df.stat.bloomFilter for huge lists).
+def bloom_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_brand").isin("Brand#1", "Brand#3"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+        .orderBy("p_brand", "p_type")
+    )
+
+
+# --- General relational breadth: TPC-H-style agg + 3-way join with a
+# broadcast dimension (proves the engine isn't fulltext-only).
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

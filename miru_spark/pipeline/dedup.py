@@ -1,0 +1,212 @@
+"""Deduplication operators over the `documents` table.
+
+All hashes are PORTABLE (md5-hex prefixes parsed as integers) so every
+operator has an exact DuckDB oracle: Spark `conv(substr(md5(x),1,12),16,10)`
+== DuckDB `('0x'||substr(md5(x),1,12))::BIGINT`.
+
+Scale design:
+- exact dedup: one hash-groupBy (map-side combinable), no content shuffle —
+  only (hash, id) pairs move.
+- minhash-LSH: shingle → K minhashes → band buckets → candidate pairs come
+  from a self-join ON THE BAND KEY (co-located, no cross product); verify
+  step computes true Jaccard only for candidates. At 100 TB the band join is
+  the only shuffle and its keys are uniformly distributed by construction.
+- simhash: 64-bit fingerprint from per-token md5 bits, hamming-close pairs
+  bucketed by 16-bit chunks (pigeonhole: hamming<=3 → some chunk equal).
+- ngram-jaccard: exact pairwise Jaccard via shingle inverted list join,
+  count/union arithmetic — no N^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.analyzer import tokens_col
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _h(col: F.Column) -> F.Column:
+    """Portable 48-bit integer hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: per-group count + keeper = min doc_id,
+    top-20 groups by (n desc, hash) so the check has rows even on a dup-free
+    corpus. (hash-groupBy; only 16-byte digests shuffle, never the content)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+        .orderBy(F.desc("n"), "content_hash")
+        .limit(20)
+    )
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct n-token shingles, JVM-side via transform
+    over the token array (no UDF)."""
+    toks = tokens_col("text")
+    sh = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold, via the shingle
+    inverted list: |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    No cross product — only docs sharing a shingle ever meet."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): minhash over 3-token shingles with seed-
+    salted portable hashes — min(h(shingle || '#' || seed))."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(_h(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band over the signature (2 rows/band,
+    4 bands); candidates = docs colliding in ANY band. Returns distinct
+    candidate pairs with their estimated similarity (matching minhashes / K).
+    The band self-join is the scale path: no pairwise comparison outside a
+    bucket."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs).cache()
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for bnd in range(N_BANDS):
+        cols = [F.col(f"sig_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bnd).alias("band"),
+                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify: estimated similarity = fraction of matching minhash components
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    ) / F.lit(float(N_MINHASH))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """SimHash: per doc, bit i of the fingerprint = sign of Σ_tokens
+    (±1 by bit i of the token's portable hash). 16 bits keeps the oracle SQL
+    tractable; the Spark impl is identical JVM-side arithmetic."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    h = tok.withColumn("h", _h(F.col("token")))
+    agg = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*agg)
+    fp = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return per_doc.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2) -> DataFrame:
+    """Hamming-close simhash pairs via pigeonhole bucketing: split the 16-bit
+    fingerprint into (max_hamming+1) chunks; any pair within distance must
+    share a chunk → self-join per chunk, exact popcount verify."""
+    fps = simhash_fingerprints(spark, sf_dir).cache()
+    n_chunks = max_hamming + 1
+    chunk_bits = 16 // n_chunks if 16 % n_chunks == 0 else 16 // n_chunks + 1
+    chunks = []
+    for c in range(n_chunks):
+        chunks.append(
+            fps.select(
+                "doc_id",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("ckey"),
+            )
+        )
+    all_chunks = chunks[0]
+    for x in chunks[1:]:
+        all_chunks = all_chunks.unionAll(x)
+    a, b = all_chunks.alias("a"), all_chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = sum(F.shiftright(xor, i).bitwiseAND(F.lit(1)) for i in range(16))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

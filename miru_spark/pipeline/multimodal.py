@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video are `binary` columns with a metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+iterators over `mapInPandas`. The decode libraries (PIL/ffmpeg/librosa) are
+NOT in this container, so the actual codecs are STUBBED: `decode_image`
+raises NotImplementedError unless `fake=True`, in which case a deterministic
+md5-derived pseudo-decoder stands in. The Spark-side plumbing — schema,
+partition sizing, UDF signatures, Arrow batch shapes — is real and tested.
+
+At 100 TB: binary payloads NEVER go through a shuffle — all transforms here
+are map-only (mapInPandas), and outputs carry only features/metadata, so
+downstream joins move kilobytes, not blobs. Partition sizing is by bytes
+(`spark.sql.files.maxPartitionBytes`), not rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(spark: SparkSession, n: int = 100, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from md5(id)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                seed = hashlib.md5(f"media{i}".encode()).digest()
+                payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
+                kind = ["image", "audio", "video"][i % 3]
+                meta = {
+                    "width": 32 + i % 32 if kind != "audio" else None,
+                    "height": 32 + i % 16 if kind != "audio" else None,
+                    "n_frames": (i % 8 + 1) if kind == "video" else None,
+                    "sample_rate": 16000 if kind == "audio" else None,
+                }
+                rows.append((i, kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real impl would be PIL/libjpeg; container has no image libs."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv — not available in this container; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    h = hashlib.md5(payload).digest()
+    side = 4
+    arr = np.frombuffer((h * (side * side * 3 // len(h) + 1))[: side * side * 3], dtype=np.uint8)
+    return arr.reshape(side, side, 3)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """payload → FEATURE_DIM float vector, Arrow-batched mapInPandas.
+    The feature is a deterministic hash-projection (stand-in for a real
+    vision/audio encoder); batch shape and output schema are the real deal."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload), fake=fake)
+                flat = img.reshape(-1).astype(np.float64)
+                reps = int(np.ceil(FEATURE_DIM * 3 / flat.size)) if flat.size else 1
+                base = np.tile(flat, reps)[: FEATURE_DIM * 3].reshape(FEATURE_DIM, 3)
+                vecs.append((base.mean(axis=1) / 255.0).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": vecs}
+            )
+
+    return media.mapInPandas(feats, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame index
+    (real impl would ffmpeg-seek; here frames are metadata-driven)."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_idx"),
+    )
+
+
+def resize_meta(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """Resize planning (aspect-preserving target dims) — pure JVM arithmetic;
+    the byte-level resample is the stubbed decode's job."""
+    imgs = media.filter(F.col("kind") == "image")
+    scale = F.least(
+        F.lit(max_side) / F.col("meta.width"), F.lit(max_side) / F.col("meta.height"), F.lit(1.0)
+    )
+    return imgs.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.ceil(F.col("meta.width") * scale).cast("int").alias("target_w"),
+        F.ceil(F.col("meta.height") * scale).cast("int").alias("target_h"),
+    )

