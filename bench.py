@@ -1,0 +1,106 @@
+"""Headline benchmark — the driver's per-round feedback loop.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+What it measures (BASELINE.md protocol):
+1. ``index_build`` — full inverted-index build (sha256 gate → docIDs →
+   tokenize → per-partition segments → salted merge → stats → filters) over
+   the documents table, fresh directory every run (resume off). Also reported
+   as ``files_per_sec``.
+2. ``bm25_serve_ms`` — the serving path (block-max WAND / numpy set algebra)
+   over the reference query set; per-query p50/p95 ms.
+3. headline DataFrame queries from __spark_entry__.queries() (BM25 relational
+   + engine path, dedup, similarity, text analysis, relational analogs).
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N) is a separate
+run-twice protocol — ``python tools/scaling_bench.py`` — because one process
+cannot host two differently-sized local masters; results land in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from miru_spark.session import get_spark
+
+    spark = get_spark("miru_spark_bench", cores=cpus)
+
+    import __spark_entry__ as entry
+    from miru_spark.corpus import reference_query_set
+    from miru_spark.index.build import build_index
+    from miru_spark.operators.fulltext import _docs, _docs_as_corpus
+    from miru_spark.query.scorer import search_local
+
+    queries: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    # 1. index build (fresh, no resume) --------------------------------------
+    idx_dir = os.path.join(tempfile.gettempdir(), "miru_bench_idx")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = _docs_as_corpus(_docs(spark, sf_dir))
+    n_files = corpus.count()  # warm the scan so build timing is the build
+    t0 = time.perf_counter()
+    build_index(spark, corpus, idx_dir, num_partitions=max(8, cpus // 2), resume=False)
+    build_s = time.perf_counter() - t0
+    queries["index_build"] = round(build_s, 4)
+    files_per_sec = n_files / build_s
+
+    # 2. BM25 serving latency over the reference query set -------------------
+    lat_ms = []
+    for q in reference_query_set():
+        t0 = time.perf_counter()
+        search_local(idx_dir, q["query"], k=q["k"],
+                     lang_filter=q["lang_filter"], repo_filter=q["repo_filter"])
+        lat_ms.append((time.perf_counter() - t0) * 1000.0)
+    lat = np.array(lat_ms)
+    queries["bm25_serve_total"] = round(float(lat.sum()) / 1000.0, 4)
+
+    # 3. headline DataFrame queries ------------------------------------------
+    headline = [
+        "ft_bm25_and", "ft_bm25_or", "ft_engine_bm25", "ft_term_stats",
+        "ft_conjunctive_count", "dedup_exact", "minhash_lsh_pairs",
+        "simhash_neardup_pairs", "cosine_topk", "token_counts", "lang_id",
+        "quality_scores", "aggregate_counts", "analytics_waveform",
+        "reco_collaborative", "pricing_summary", "shipping_priority",
+    ]
+    qmap = entry.queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).collect()
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    total = time.perf_counter() - t_total0
+    print(json.dumps({
+        "metric": "index-build + BM25 serve + headline query suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_files": int(n_files),
+        "files_per_sec": round(files_per_sec, 2),
+        "bm25_p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "bm25_p95_ms": round(float(np.percentile(lat, 95)), 2),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
