@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from miru_spark.codec import decode_id_set, decode_postings
+from miru_spark.codec import decode_block_meta, decode_id_set, decode_postings
 from miru_spark.query import parser as qp
 
 K1 = 1.2
@@ -103,25 +103,36 @@ def _doclens(index_dir: str) -> np.ndarray:
     return arr
 
 
-def load_postings(index_dir: str, terms: set[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
-    """term → (sorted docIDs, tfs); shards concatenated in shard order
-    (contiguous docID ranges by construction)."""
+def load_postings(
+    index_dir: str, terms: set[str]
+) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """term → (sorted docIDs, tfs, block_last, block_max_tf); shards
+    concatenated in shard order (contiguous docID ranges by construction, so
+    block metadata concatenates monotonically too)."""
     if not terms:
         return {}
     ds = pads.dataset(os.path.join(index_dir, "merged"))
     t = ds.to_table(
-        columns=["term", "shard", "docids", "tfs"],
+        columns=["term", "shard", "docids", "tfs", "block_last", "block_max_tf"],
         filter=pads.field("term").isin(sorted(terms)),
     )
     pdf = t.to_pandas().sort_values(["term", "shard"])
-    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, grp in pdf.groupby("term", sort=False):
-        ds_, tf_ = [], []
-        for db, tb in zip(grp["docids"], grp["tfs"]):
+        ds_, tf_, bl_, bm_ = [], [], [], []
+        for db, tb, blb, bmb in zip(grp["docids"], grp["tfs"], grp["block_last"], grp["block_max_tf"]):
             d, tf = decode_postings(db, tb)
+            bl, bm = decode_block_meta(blb, bmb)
             ds_.append(d)
             tf_.append(tf)
-        out[term] = (np.concatenate(ds_), np.concatenate(tf_))
+            bl_.append(bl)
+            bm_.append(bm)
+        out[term] = (
+            np.concatenate(ds_),
+            np.concatenate(tf_),
+            np.concatenate(bl_),
+            np.concatenate(bm_),
+        )
     return out
 
 
@@ -176,7 +187,7 @@ def _score_candidates(cand, scoring_terms, postings, doclens, n_docs, avgdl):
     for term in sorted(scoring_terms):  # fixed accumulation order → reproducible floats
         if term not in postings:
             continue
-        d, tf = postings[term]
+        d, tf = postings[term][:2]
         pos = np.searchsorted(d, cand)
         pos_c = np.minimum(pos, d.size - 1)
         mask = (pos < d.size) & (d[pos_c] == cand)
@@ -187,41 +198,85 @@ def _score_candidates(cand, scoring_terms, postings, doclens, n_docs, avgdl):
     return scores
 
 
-def _maxscore_candidates(scoring_terms, postings, k, n_docs, doclens, avgdl):
-    """MaxScore: for pure disjunctions, docs appearing ONLY in terms whose
-    summed upper bounds cannot reach the (exact) kth single-term score of the
-    strongest term are never top-k candidates. Returns the candidate array."""
+def _tf_upper(tf):
+    """BM25 tf-norm upper bound: doc_len→0 maximizes tf*(k1+1)/(tf+k1*(1-b))."""
+    tf = np.asarray(tf, dtype=np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B))
+
+
+def _blockmax_wand_candidates(scoring_terms, postings, k, n_docs, doclens, avgdl, diag=None):
+    """Block-max WAND candidate generation for pure disjunctions (vectorized).
+
+    Two pruning levels, both sound (every dropped doc provably scores < the
+    kth-best total):
+
+    1. **MaxScore term split**: θ = the exact kth single-term score of the
+       strongest term (a lower bound on the final kth-best total, since BM25
+       contributions are >= 0). Terms are sorted by global upper bound
+       ``idf · tf_norm_ub(max_tf)``; docs appearing ONLY in non-essential
+       terms (prefix whose cumulative UB < θ) can never reach θ.
+    2. **Per-block max-score skipping** (the block-max step, per the north
+       rule; generalizes miru's `considerIfLastIdGreaterThanN` recency skip,
+       miru-plugin/.../solution/MiruAggregateUtil.java:1130,1181): for every
+       surviving candidate, its score upper bound is Σ_t UB(block of t
+       containing d), with UB(block) = idf_t · tf_norm_ub(block_max_tf).
+       Candidates whose block-UB sum < θ are skipped before exact scoring.
+       Docs past a term's last block or absent from a block contribute at
+       most the block UB (>= their true contribution, possibly 0) — sound.
+
+    Classic document-at-a-time WAND advances one pivot per step (per-row
+    Python — banned here); this formulation does the same block-UB skipping
+    as array passes: one searchsorted per term over the candidate vector.
+    """
     ubs = {}
     for t in scoring_terms:
         if t not in postings:
             continue
-        d, tf = postings[t]
-        max_tf = float(tf.max())
-        # doc_len→0 maximizes tf_norm: tf*(k1+1)/(tf + k1*(1-b))
-        ubs[t] = bm25_idf(float(d.size), n_docs) * (max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B)))
+        d, tf = postings[t][:2]
+        ubs[t] = bm25_idf(float(d.size), n_docs) * float(_tf_upper(float(tf.max())))
     if not ubs:
         return np.empty(0, dtype=np.int64)
     order = sorted(ubs, key=lambda t: -ubs[t])
-    d0, tf0 = postings[order[0]]
-    if d0.size <= k:
-        theta = 0.0
-    else:
-        # exact single-term scores of the strongest term are a valid lower
-        # bound on the final kth-best total score (contributions are >= 0)
-        s = bm25_idf(float(d0.size), n_docs) * bm25_tf_norm(
-            tf0.astype(np.float64), doclens[d0].astype(np.float64), avgdl
-        )
-        theta = float(np.partition(s, s.size - k)[s.size - k])
+    # θ = exact kth single-term score of the strongest term that HAS > k
+    # postings (rare terms have the highest idf/UB but can't seed a kth bound)
+    theta = 0.0
+    for t in order:
+        d0, tf0 = postings[t][:2]
+        if d0.size > k:
+            s = bm25_idf(float(d0.size), n_docs) * bm25_tf_norm(
+                tf0.astype(np.float64), doclens[d0].astype(np.float64), avgdl
+            )
+            theta = float(np.partition(s, s.size - k)[s.size - k])
+            break
     essential, acc = [], 0.0
     for t in reversed(order):  # ascending ub
         acc += ubs[t]
         if theta <= 0.0 or acc >= theta:  # >= : a doc reaching exactly theta can tie in
             essential.append(t)
     sets = [postings[t][0] for t in essential]
-    out = sets[0]
+    cand = sets[0]
     for s_ in sets[1:]:
-        out = np.union1d(out, s_)
-    return out
+        cand = np.union1d(cand, s_)
+    if diag is not None:
+        diag["union_size"] = int(cand.size)
+        diag["essential_terms"] = len(essential)
+        diag["theta"] = theta
+    if theta <= 0.0 or cand.size == 0:
+        return cand
+
+    # block-max skipping: per-candidate UB = Σ_t UB of the containing block
+    ub_sum = np.zeros(cand.size, dtype=np.float64)
+    for t in order:
+        d, tf, block_last, block_max_tf = postings[t]
+        idf = bm25_idf(float(d.size), n_docs)
+        block_ub = idf * _tf_upper(block_max_tf)
+        pos = np.searchsorted(block_last, cand)  # containing-block index
+        valid = pos < block_last.size  # past the last block → term contributes 0
+        ub_sum[valid] += block_ub[pos[valid]]
+    keep = ub_sum >= theta - 1e-12
+    if diag is not None:
+        diag["after_blockmax"] = int(np.count_nonzero(keep))
+    return cand[keep]
 
 
 def search_local(
@@ -231,8 +286,10 @@ def search_local(
     lang_filter: list[str] | None = None,
     repo_filter: list[str] | None = None,
     gather: bool = True,
+    diag: dict | None = None,
 ) -> pd.DataFrame:
-    """Serving path: parse → numpy set algebra → BM25 → top-k heap → gather."""
+    """Serving path: parse → numpy set algebra → block-max WAND → BM25 top-k
+    → gather. Pass ``diag={}`` to capture pruning statistics."""
     h = IndexHandle.open(index_dir)
     ast = qp.parse_query(query)
     expansions = expand_prefixes(index_dir, qp.prefixes(ast))
@@ -247,9 +304,13 @@ def search_local(
     )
     doclens = _doclens(index_dir)
     if pure_or and not lang_filter and not repo_filter and len(scoring_terms) > 1:
-        cand = _maxscore_candidates(scoring_terms, postings, k, h.n_docs, doclens, h.avgdl)
+        cand = _blockmax_wand_candidates(
+            scoring_terms, postings, k, h.n_docs, doclens, h.avgdl, diag=diag
+        )
     else:
         cand = _eval_ast(ast, postings, expansions)
+    if diag is not None:
+        diag["scored"] = int(cand.size)
     if lang_filter:
         cand = np.intersect1d(cand, load_filter_set(index_dir, "lang", lang_filter), assume_unique=True)
     if repo_filter:

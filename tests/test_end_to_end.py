@@ -70,3 +70,26 @@ def test_distributed_matches_oracle(q, tiny_index, corpus_with_ids, spark):
 def test_zero_hit_query(tiny_index):
     out = search_local(tiny_index, "zebra AND merge")
     assert len(out) == 0
+
+
+def test_blockmax_wand_prunes_and_is_rank_identical(tiny_index, corpus_with_ids):
+    """The block-max step must (a) keep top-k rank-identical to brute force,
+    (b) actually skip candidates via per-block max-score bounds."""
+    q = "def OR merge OR rareterm0"
+    diag: dict = {}
+    got = search_local(tiny_index, q, k=5, diag=diag)
+    exp = oracle_topk(corpus_with_ids, q, k=5).toPandas()
+    _assert_rank_identical(got, exp, "wand")
+    assert diag["theta"] > 0.0
+    # at 200 docs each term is ~1 block, so bounds may not prune here; the
+    # strict pruning guarantee is pinned in tests/test_wand.py on postings
+    # crafted with many blocks
+    assert diag["scored"] == diag["after_blockmax"] <= diag["union_size"]
+
+
+def test_blockmax_wand_matches_oracle_many_disjunctions(tiny_index, corpus_with_ids):
+    for q in ("merge OR sort OR hash OR join", "the OR license OR import OR x1",
+              "value OR data OR index OR query OR scan"):
+        got = search_local(tiny_index, q, k=10, diag={})
+        exp = oracle_topk(corpus_with_ids, q, k=10).toPandas()
+        _assert_rank_identical(got, exp, q)

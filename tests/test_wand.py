@@ -1,0 +1,101 @@
+"""Unit tests of the block-max WAND kernel on hand-crafted posting lists:
+pruning must fire (whole blocks skipped via per-block max-score bounds) AND
+the surviving set must contain every true top-k doc (soundness)."""
+
+import numpy as np
+
+from miru_spark.codec import BLOCK_SIZE, decode_block_meta, encode_postings
+from miru_spark.query.scorer import (
+    _blockmax_wand_candidates,
+    _score_candidates,
+    bm25_idf,
+    bm25_tf_norm,
+)
+
+N_DOCS = 20_000
+AVGDL = 50.0
+
+
+def _mk(doc_ids, tfs):
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    _, _, bl, bm = encode_postings(d, t)
+    bl, bm = decode_block_meta(bl, bm)
+    return (d, t, bl, bm)
+
+
+def _bruteforce_topk(postings, doclens, k):
+    all_docs = np.unique(np.concatenate([p[0] for p in postings.values()]))
+    scores = np.zeros(all_docs.size)
+    for _, (d, tf, _, _) in sorted(postings.items()):
+        idf = bm25_idf(float(d.size), N_DOCS)
+        pos = np.searchsorted(all_docs, d)
+        scores[pos] += idf * bm25_tf_norm(
+            tf.astype(np.float64), doclens[d].astype(np.float64), AVGDL
+        )
+    order = np.lexsort((all_docs, scores))[::-1][:k]
+    return all_docs[order], scores[order]
+
+
+def test_blockmax_prunes_blocks_and_keeps_topk():
+    """Term A sets θ; term B is essential (its global UB, driven by one
+    high-tf head block, beats θ) but its tf=1 tail blocks lie OUTSIDE A's doc
+    range, so their per-block bound alone can't reach θ → those whole blocks
+    must be skipped, while the true top-k (inside the overlap) survives."""
+    doclens = np.full(N_DOCS, int(AVGDL), dtype=np.int64)
+    a_docs = np.arange(0, 4000, 2, dtype=np.int64)  # 2000 postings, tf=5
+    a_tfs = np.full(a_docs.size, 5, dtype=np.int64)
+    b_docs = np.concatenate(
+        [np.arange(0, 2 * BLOCK_SIZE, 2), np.arange(10_000, 14_000, 2)]
+    ).astype(np.int64)
+    b_tfs = np.ones(b_docs.size, dtype=np.int64)
+    b_tfs[:BLOCK_SIZE] = 30  # head block inflates B's global UB above θ
+    postings = {"a": _mk(a_docs, a_tfs), "b": _mk(b_docs, b_tfs)}
+
+    diag = {}
+    cand = _blockmax_wand_candidates(
+        {"a", "b"}, postings, 10, N_DOCS, doclens, AVGDL, diag=diag
+    )
+    assert diag["theta"] > 0.0
+    assert diag["essential_terms"] == 2  # B passed the MaxScore split
+    assert diag["after_blockmax"] < diag["union_size"]  # blocks were skipped
+    # every pruned doc is a B-tail doc (>= 10000, outside A's range)
+    pruned = np.setdiff1d(np.union1d(a_docs, b_docs), cand)
+    assert pruned.size > 0 and (pruned >= 10_000).all()
+
+    # soundness: exact top-k from the pruned set == exact top-k from everything
+    exp_docs, exp_scores = _bruteforce_topk(postings, doclens, 10)
+    got_scores = _score_candidates(cand, {"a", "b"}, postings, doclens, N_DOCS, AVGDL)
+    order = np.lexsort((cand, got_scores))[::-1][:10]
+    np.testing.assert_array_equal(cand[order], exp_docs)
+    np.testing.assert_allclose(got_scores[order], exp_scores, rtol=1e-12)
+
+
+def test_blockmax_nonessential_term_dropped():
+    doclens = np.full(N_DOCS, int(AVGDL), dtype=np.int64)
+    strong_docs = np.arange(0, 1000, dtype=np.int64)
+    strong_tfs = np.full(strong_docs.size, 5, dtype=np.int64)
+    # weak term: common (low idf), tf=1, disjoint doc range → never top-k
+    weak_docs = np.arange(10_000, 19_000, dtype=np.int64)
+    weak_tfs = np.ones(weak_docs.size, dtype=np.int64)
+    postings = {"strong": _mk(strong_docs, strong_tfs), "weak": _mk(weak_docs, weak_tfs)}
+
+    diag = {}
+    cand = _blockmax_wand_candidates(
+        {"strong", "weak"}, postings, 10, N_DOCS, doclens, AVGDL, diag=diag
+    )
+    # weak-only docs must all be pruned (by MaxScore split or block bounds)
+    assert not np.intersect1d(cand, weak_docs).size
+    exp_docs, _ = _bruteforce_topk(postings, doclens, 10)
+    assert np.isin(exp_docs, cand).all()
+
+
+def test_blockmax_exact_theta_tie_kept():
+    """A doc whose UB equals θ exactly must survive (>= comparison)."""
+    doclens = np.full(N_DOCS, int(AVGDL), dtype=np.int64)
+    docs = np.arange(0, 300, dtype=np.int64)
+    tfs = np.ones(docs.size, dtype=np.int64)  # all identical scores → all tie at θ
+    other = _mk(np.arange(500, 600, dtype=np.int64), np.ones(100, dtype=np.int64))
+    postings = {"a": _mk(docs, tfs), "b": other}
+    cand = _blockmax_wand_candidates({"a", "b"}, postings, 10, N_DOCS, doclens, AVGDL)
+    assert np.isin(docs, cand).all()
