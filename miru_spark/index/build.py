@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from miru_spark.analyzer import tokenize_pandas
-from miru_spark.codec import encode_id_set, encode_postings
+from miru_spark import roaring
+from miru_spark.codec import encode_postings
 from miru_spark.corpus import verify_sha256
 
 KEY_COLS = ["repo", "path", "commit"]
@@ -235,7 +236,8 @@ def build_doc_meta(corpus_with_ids: DataFrame, index_dir: str) -> None:
 
 
 def build_field_filters(spark: SparkSession, index_dir: str) -> None:
-    """lang/repo filter sets: field value → compressed sorted docID set.
+    """lang/repo filter bitmaps: field value → Roaring bitmap of docIDs
+    (miru_spark.roaring, array/bitmap containers per 64Ki chunk).
 
     The analog of miru's per-term Roaring filter bitmaps / authz index
     (miru-plugin/.../index/MiruAuthzIndex.java:9-13); AND/OR/ANDNOT against
@@ -254,7 +256,7 @@ def build_field_filters(spark: SparkSession, index_dir: str) -> None:
     def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
         return pd.DataFrame(
-            [{"field": key[0], "value": key[1], "n": len(ids), "doc_ids": encode_id_set(ids)}]
+            [{"field": key[0], "value": key[1], "n": len(ids), "doc_ids": roaring.from_array(ids)}]
         )
 
     frames = []

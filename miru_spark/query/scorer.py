@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from miru_spark.codec import decode_block_meta, decode_id_set, decode_postings
+from miru_spark import roaring
+from miru_spark.codec import decode_block_meta, decode_postings
 from miru_spark.query import parser as qp
 
 K1 = 1.2
@@ -136,18 +137,18 @@ def load_postings(
     return out
 
 
-def load_filter_set(index_dir: str, field: str, values: list[str]) -> np.ndarray:
-    """OR of the compressed per-value docID sets (miru's getCompositeAuthz
-    pattern, miru-plugin/.../index/MiruAuthzIndex.java:13)."""
+def load_filter_bitmap(index_dir: str, field: str, values: list[str]) -> bytes:
+    """Roaring OR of the selected values' filter bitmaps (miru's
+    getCompositeAuthz pattern, miru-plugin/.../index/MiruAuthzIndex.java:13),
+    done container-level in miru_spark.roaring."""
     ds = pads.dataset(os.path.join(index_dir, "filters"))
     t = ds.to_table(filter=(pads.field("field") == field) & (pads.field("value").isin(values)))
-    sets = [decode_id_set(b.as_py()) for b in t.column("doc_ids")]
-    if not sets:
-        return np.empty(0, dtype=np.int64)
-    out = sets[0]
-    for s in sets[1:]:
-        out = np.union1d(out, s)
-    return out
+    return roaring.or_many([b.as_py() for b in t.column("doc_ids")])
+
+
+def load_filter_set(index_dir: str, field: str, values: list[str]) -> np.ndarray:
+    """Decoded docID array of the composite filter (test/debug convenience)."""
+    return roaring.to_array(load_filter_bitmap(index_dir, field, values))
 
 
 def _eval_ast(node, postings, expansions) -> np.ndarray:
@@ -311,10 +312,10 @@ def search_local(
         cand = _eval_ast(ast, postings, expansions)
     if diag is not None:
         diag["scored"] = int(cand.size)
-    if lang_filter:
-        cand = np.intersect1d(cand, load_filter_set(index_dir, "lang", lang_filter), assume_unique=True)
+    if lang_filter:  # roaring AND into the candidate set (container-skipping)
+        cand = roaring.and_array(load_filter_bitmap(index_dir, "lang", lang_filter), cand)
     if repo_filter:
-        cand = np.intersect1d(cand, load_filter_set(index_dir, "repo", repo_filter), assume_unique=True)
+        cand = roaring.and_array(load_filter_bitmap(index_dir, "repo", repo_filter), cand)
     if cand.size == 0:
         return pd.DataFrame(columns=["doc_id", "score", "repo", "path", "commit", "lang"])
 
