@@ -1,0 +1,121 @@
+"""Cluster entrypoint: ``spark-submit --py-files miru_spark.zip -m`` driver.
+
+Usage (cluster — the 10^12-file path; conf comes from spark-submit):
+
+    python tools/make_pyfiles.py                        # → dist/miru_spark.zip
+    spark-submit --master yarn --deploy-mode client \
+        --py-files dist/miru_spark.zip \
+        tools/submit_job.py build \
+        --corpus s3a://bucket/code_corpus/ --index-dir s3a://bucket/index/ \
+        --partitions 4096
+
+    spark-submit ... tools/submit_job.py search \
+        --index-dir s3a://bucket/index/ --query "merge AND sort" --k 10
+
+Locally (sandbox) the same module runs under ``python -m miru_spark.cli``
+with ``--local-cores N``. Resume is on by default: a re-submitted build job
+skips every partition whose segment manifest is complete (the S15 checkpoint
+contract, miru-stream-plugins/.../fulltext/FullTextGatherer.java:205-242).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    """Under spark-submit the master/conf are already set — just getOrCreate.
+    ``--local-cores`` forces a sandbox-style local master instead."""
+    if getattr(args, "local_cores", None):
+        from miru_spark.session import get_spark
+
+        return get_spark("miru_spark_cli", cores=args.local_cores)
+    return SparkSession.builder.appName("miru_spark_cli").getOrCreate()
+
+
+def cmd_build(args) -> None:
+    spark = _spark(args)
+    if args.synthetic_rows:
+        from miru_spark.corpus import generate_corpus
+
+        corpus = generate_corpus(
+            spark, n_rows=args.synthetic_rows, seed=args.seed, partitions=args.partitions
+        )
+    else:
+        reader = spark.read
+        corpus = (
+            reader.format("iceberg").load(args.corpus)
+            if args.format == "iceberg"
+            else reader.parquet(args.corpus)
+        )
+    from miru_spark.index.build import build_index
+
+    summary = build_index(
+        spark,
+        corpus,
+        args.index_dir,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+        check_sha256=not args.no_sha_check,
+    )
+    print(json.dumps(summary))
+
+
+def cmd_search(args) -> None:
+    lang = args.lang.split(",") if args.lang else None
+    repo = args.repo.split(",") if args.repo else None
+    if args.distributed:
+        spark = _spark(args)
+        from miru_spark.query.scorer import search_distributed
+
+        rows = search_distributed(
+            spark, args.index_dir, args.query, k=args.k, lang_filter=lang, repo_filter=repo
+        ).collect()
+        out = [r.asDict() for r in rows]
+    else:  # serving path — no Spark session needed at all
+        from miru_spark.query.scorer import search_local
+
+        out = search_local(
+            args.index_dir, args.query, k=args.k, lang_filter=lang, repo_filter=repo
+        ).to_dict("records")
+    print(json.dumps(out, default=str))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="miru_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--corpus", help="corpus table path (parquet dir or iceberg table)")
+    b.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
+    b.add_argument("--synthetic-rows", type=int, default=0, help="generate a synthetic corpus instead")
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--partitions", type=int, default=64)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--no-sha-check", action="store_true")
+    b.add_argument("--local-cores", type=int, default=0)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--lang", default="")
+    s.add_argument("--repo", default="")
+    s.add_argument("--distributed", action="store_true")
+    s.add_argument("--local-cores", type=int, default=0)
+    s.set_defaults(fn=cmd_search)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "build" and not args.corpus and not args.synthetic_rows:
+        ap.error("build needs --corpus or --synthetic-rows")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,101 @@
+"""Scaling-efficiency evidence for the north rule (>=0.8 from N to 4N).
+
+No real cluster exists in this sandbox, so the sandbox proxy (BASELINE.md
+protocol) is: the SAME build job over the SAME parquet corpus, with the SAME
+index partitioning (so docIDs and all work units are identical), at
+``local[N]`` and ``local[4N]`` — each in a fresh JVM/subprocess because one
+process can't host two differently-sized local masters.
+
+    python tools/scaling_bench.py [--rows 1000000] [--n 8] [--out BENCH_SCALING.json]
+
+Prints one JSON line: files/sec at both sizes + scaling_efficiency
+(= speedup/4). Re-run after engine changes; results are transcribed into
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_ONE = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from miru_spark.session import get_spark
+from miru_spark.index.build import build_index
+
+spark = get_spark("scaling_{cores}", cores={cores})
+corpus = spark.read.parquet({corpus!r})
+n = corpus.count()  # warm FS cache / JIT the scan before timing
+shutil.rmtree({idx!r}, ignore_errors=True)
+t0 = time.perf_counter()
+build_index(spark, corpus, {idx!r}, num_partitions={parts}, resume=False)
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": dt, "files_per_sec": n / dt, "n_files": n}}))
+spark.stop()
+"""
+
+
+def run_build(cores: int, corpus: str, parts: int) -> dict:
+    idx = os.path.join(tempfile.gettempdir(), f"miru_scaling_idx_{cores}")
+    code = RUN_ONE.format(repo=REPO, cores=cores, corpus=corpus, idx=idx, parts=parts)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"run at {cores} cores failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--n", type=int, default=8, help="small size N; large is 4N")
+    ap.add_argument("--parts", type=int, default=128, help="index partitions (same at both sizes)")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    corpus = os.path.join(tempfile.gettempdir(), f"miru_scaling_corpus_{args.rows}.parquet")
+    if not os.path.exists(corpus):
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r});"
+            "from miru_spark.session import get_spark;"
+            "from miru_spark.corpus import generate_corpus;"
+            "s = get_spark('gen', cores={cores});"
+            "generate_corpus(s, n_rows={rows}, seed=7, partitions={parts})"
+            ".write.mode('overwrite').parquet({corpus!r}); s.stop()"
+        ).format(repo=REPO, cores=4 * args.n, rows=args.rows, parts=args.parts, corpus=corpus)
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600,
+                       capture_output=True, text=True)
+
+    small = run_build(args.n, corpus, args.parts)
+    large = run_build(4 * args.n, corpus, args.parts)
+    speedup = small["sec"] / large["sec"]
+    result = {
+        "metric": "indexing-throughput scaling efficiency, N -> 4N cores (sandbox proxy for executors)",
+        "n_files": small["n_files"],
+        "index_partitions": args.parts,
+        "cores_small": small["cores"],
+        "cores_large": large["cores"],
+        "sec_small": round(small["sec"], 2),
+        "sec_large": round(large["sec"], 2),
+        "files_per_sec_small": round(small["files_per_sec"], 1),
+        "files_per_sec_large": round(large["files_per_sec"], 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / 4.0, 3),
+        "passes_north_rule": speedup / 4.0 >= 0.8,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
