@@ -34,10 +34,36 @@ def tokens_col(content: Column | str) -> Column:
 
 
 def tokenize_pandas(content: pd.Series) -> pd.Series:
-    """pandas path: Series[str] -> Series[list[str]]; identical semantics."""
+    """pandas path: Series[str] -> Series[list[str]]; identical semantics.
+    (Per-row Python — kept for parity tests/oracles; the build hot path uses
+    ``tokenize_arrow_flat``.)"""
     return content.str.lower().str.split(_RE).map(
         lambda toks: [t for t in toks if t] if toks is not None else []
     )
+
+
+def tokenize_arrow_flat(content: pd.Series):
+    """Arrow-vectorized tokenizer for the build hot path — NO per-row Python
+    (the input_hint requirement). Returns
+    ``(codes int64, vocab object[], parents int64, n_tokens)`` where token i
+    is ``vocab[codes[i]]`` belonging to input row ``parents[i]``. RE2 and
+    Python `re` agree on this pattern (a plain negated character class).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(content.fillna(""), type=pa.large_string())
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype("int64")
+    vocab = denc.dictionary.to_pandas().to_numpy(dtype=object)
+    par = parents.to_numpy(zero_copy_only=False).astype("int64")
+    return codes, vocab, par, codes.size
 
 
 def tokenize_one(text: str) -> list[str]:

@@ -392,8 +392,10 @@ def search_distributed(
     if not needed:
         return spark.createDataFrame([], "doc_id long, score double, repo string, path string, commit string, lang string")
 
-    merged = spark.read.parquet(os.path.join(index_dir, "merged")).filter(
-        F.col("term").isin(needed)
+    merged = (
+        spark.read.parquet(os.path.join(index_dir, "merged"))
+        .select("term", "docids", "tfs")  # column pruning: skip block metadata
+        .filter(F.col("term").isin(needed))
     )
 
     def explode_postings(batches):

@@ -46,3 +46,23 @@ def test_duckdb_tokens_match():
     con.executemany("insert into t values (?)", [(raw,) for raw, _ in PIN])
     got = [r[0] for r in con.execute(f"select {duckdb_tokens_sql('content')} from t").fetchall()]
     assert got == [e for _, e in PIN]
+
+
+def test_arrow_flat_matches_pandas():
+    """The Arrow build-path tokenizer must agree with the pandas reference
+    implementation token-for-token (Q2 analyzer-parity risk)."""
+    import numpy as np
+    import pandas as pd
+
+    from miru_spark.analyzer import tokenize_arrow_flat, tokenize_pandas
+
+    s = pd.Series([
+        "Def MERGE, sort(x1) def", "", "  ", "müller naïve HTTPServer",
+        "a_b-c.d 2024int64", None, "ümlaut ÜMLAUT", "日本語 text",
+    ])
+    codes, vocab, parents, n = tokenize_arrow_flat(s)
+    got = [(int(p), str(vocab[c])) for p, c in zip(parents, codes)]
+    exp = [(i, t) for i, toks in enumerate(tokenize_pandas(s)) for t in toks]
+    assert got == exp
+    assert n == len(exp)
+    assert np.all(np.diff(parents) >= 0)
