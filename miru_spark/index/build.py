@@ -70,6 +70,7 @@ MANIFEST_ROW_SCHEMA = T.StructType(
         T.StructField("doc_id_start", T.LongType()),
         T.StructField("doc_id_end", T.LongType()),
         T.StructField("segment_file", T.StringType()),
+        T.StructField("meta_file", T.StringType()),
         T.StructField("status", T.StringType()),
     ]
 )
@@ -129,6 +130,7 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
     """
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     codes, vocab, parents, n_tokens = tokenize_arrow_flat(pdf["content"])
+    doc_lens = np.bincount(parents, minlength=len(pdf)).astype(np.int32)
     flat_docs = doc_ids[parents]
     # (term-code, doc) -> tf via int lexsort + run-length encoding
     order = np.lexsort((flat_docs, codes))
@@ -175,7 +177,21 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
         doc_id_start=int(doc_ids.min()) if doc_ids.size else -1,
         doc_id_end=int(doc_ids.max()) if doc_ids.size else -1,
     )
-    return rows, stats
+    # forward index rows (miru's activity index analog,
+    # miru-plugin/.../index/MiruActivityIndex.java:16-45), fused into the same
+    # pass: doc_len comes free from the tokenizer's parent indices — a
+    # separate JVM-tokenize scan measured ~24s/1M docs and didn't parallelize
+    meta = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "repo": pa.array(pdf["repo"], pa.string()),
+            "path": pa.array(pdf["path"], pa.string()),
+            "commit": pa.array(pdf["commit"], pa.string()),
+            "lang": pa.array(pdf["lang"], pa.string()),
+            "doc_len": pa.array(doc_lens, pa.int32()),
+        }
+    )
+    return rows, stats, meta
 
 
 def build_segments(
@@ -187,9 +203,16 @@ def build_segments(
     recorded manifest and skip all work — the S14/S15 checkpoint contract.
     """
     seg_dir = os.path.join(index_dir, "segments")
+    meta_dir = os.path.join(index_dir, "doc_meta")
     man_dir = os.path.join(index_dir, "manifests")
     os.makedirs(seg_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(man_dir, exist_ok=True)
+
+    def _write_atomic(table: pa.Table, path: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [p for p in batches if len(p)]
@@ -201,13 +224,17 @@ def build_segments(
         if resume and os.path.exists(man_path):
             with open(man_path) as f:
                 m = json.load(f)
-            if m.get("n_docs") == len(pdf) and os.path.exists(m["segment_file"]):
+            if (
+                m.get("n_docs") == len(pdf)
+                and os.path.exists(m["segment_file"])
+                and os.path.exists(m.get("meta_file", ""))
+            ):
                 m["status"] = "skipped"
                 yield pd.DataFrame([m])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
                 return
-        rows, stats = _build_segment_rows(pdf)
+        rows, stats, meta = _build_segment_rows(pdf)
         seg_file = os.path.join(seg_dir, f"seg_{pid}.parquet")
-        tmp = seg_file + f".tmp-{uuid.uuid4().hex}"
+        meta_file = os.path.join(meta_dir, f"meta_{pid}.parquet")
         table = pa.table(
             {
                 "term": rows["term"],
@@ -217,9 +244,9 @@ def build_segments(
             },
             schema=SEGMENT_SCHEMA,
         )
-        pq.write_table(table, tmp, compression="zstd")
-        os.replace(tmp, seg_file)  # segment durable BEFORE manifest
-        manifest = dict(pid=pid, **stats, segment_file=seg_file, status="built")
+        _write_atomic(table, seg_file)  # data durable BEFORE manifest
+        _write_atomic(meta, meta_file)
+        manifest = dict(pid=pid, **stats, segment_file=seg_file, meta_file=meta_file, status="built")
         mtmp = man_path + f".tmp-{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -227,22 +254,6 @@ def build_segments(
         yield pd.DataFrame([manifest])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
 
     return corpus_with_ids.mapInPandas(build, schema=MANIFEST_ROW_SCHEMA)
-
-
-def build_doc_meta(corpus_with_ids: DataFrame, index_dir: str) -> None:
-    """Forward index (miru's activity index analog,
-    miru-plugin/.../index/MiruActivityIndex.java:16-45): doc_id → stored
-    fields + doc length (token count, JVM-side — no Python)."""
-    from miru_spark.analyzer import tokens_col
-
-    (
-        corpus_with_ids.select(
-            "doc_id", "repo", "path", "commit", "lang",
-            F.size(tokens_col("content")).cast("int").alias("doc_len"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "doc_meta"))
-    )
 
 
 def build_field_filters(spark: SparkSession, index_dir: str) -> None:
@@ -296,7 +307,6 @@ def build_index(
 
     with_ids, _ = assign_doc_ids(corpus, num_partitions)
     manifests = build_segments(with_ids, index_dir, resume=resume).collect()
-    build_doc_meta(with_ids, index_dir)
     build_field_filters(spark, index_dir)
     summary = merge_segments(spark, index_dir)
     summary["partitions"] = len(manifests)
