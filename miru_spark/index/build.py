@@ -11,12 +11,17 @@ disjoint docID ranges so the later merge is pure concatenation (the same
 insight as miru's atomized posting keys, LabInvertedIndex.java:87-150).
 
 Scale notes (100 TB / 10^12 files):
-- docID assignment is two passes over range-partitioned data (count per
-  partition → prefix-sum offsets broadcast); no global sort bottleneck, no
-  driver materialization beyond one int per partition.
-- segment build is shuffle-free: each task tokenizes and aggregates ONLY its
-  own partition (map-side; the only shuffle in the whole build is the
-  repartitionByRange and the final term-keyed merge).
+- the content takes exactly ONE pass: key range-partition shuffle → per-task
+  tokenize + segment + forward-index write. docIDs are partition-local there;
+  global ids (= global key rank) appear at merge time by adding manifest-count
+  prefix-sum offsets — no count pre-job, no id-stamping re-pass, no global
+  sort bottleneck, no driver materialization beyond one int per partition.
+  (The earlier two-pass design moved all content through JVM↔Arrow↔Python
+  twice and measurably saturated memory bandwidth before CPUs.)
+- the only shuffles in the whole build are the repartitionByRange and the
+  term-keyed merge (which carries postings, never content); with
+  assume_sorted=True (corpus pre-sorted by key, e.g. Iceberg sort order)
+  even the range shuffle disappears.
 - each task writes its own segment parquet + manifest (write-tmp-then-rename,
   checkpoint-after-durable-write ordering copied from miru's FullTextGatherer
   sip cursor, miru-stream-plugins/.../fulltext/FullTextGatherer.java:205-242),
@@ -76,21 +81,35 @@ MANIFEST_ROW_SCHEMA = T.StructType(
 )
 
 
-def assign_doc_ids(
-    df: DataFrame, num_partitions: int, persist: bool = True
-) -> tuple[DataFrame, dict[int, int]]:
-    """Global dense docIDs = rank in (repo, path, commit) order.
-
-    Range-partition + sortWithinPartitions gives a total key order across
-    partitions; per-partition counts → prefix-sum offsets (broadcast dict,
-    one entry per partition). Independent of parallelism: the rank of a key
-    is the rank, whatever N is.
-    """
-    keyed = (
+def key_partition(df: DataFrame, num_partitions: int, assume_sorted: bool = False) -> DataFrame:
+    """Range-partition + sort by (repo, path, commit): a total key order
+    across partitions, so partition p owns keys strictly below partition p+1
+    and partition-local ranks + offsets give the global key rank.
+    ``assume_sorted``: the input files are already globally key-sorted (e.g.
+    an Iceberg table with a matching sort order) — skip the shuffle entirely
+    and use the existing file partitioning."""
+    if assume_sorted:
+        return df.withColumn("_pid", F.spark_partition_id())
+    return (
         df.repartitionByRange(num_partitions, *KEY_COLS)
         .sortWithinPartitions(*KEY_COLS)
         .withColumn("_pid", F.spark_partition_id())
     )
+
+
+def assign_doc_ids(
+    df: DataFrame, num_partitions: int, persist: bool = True
+) -> tuple[DataFrame, dict[int, int]]:
+    """Global dense docIDs = rank in (repo, path, commit) order, materialized
+    as a column (used by the oracle/test paths; the production build derives
+    the same ids with ONE pass over content — local ranks in the segment
+    pass + manifest-count offsets applied at merge, see build_index).
+
+    Per-partition counts → prefix-sum offsets (broadcast dict, one entry per
+    partition). Independent of parallelism: the rank of a key is the rank,
+    whatever N is.
+    """
+    keyed = key_partition(df, num_partitions)
     if persist:
         keyed = keyed.persist()
     counts = {r["_pid"]: r["count"] for r in keyed.groupBy("_pid").count().collect()}
@@ -127,8 +146,14 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
     regex split + dictionary-encode in Arrow C++, then int-only lexsort and
     run-length encoding — profiling shows ~4x over the object-array path,
     and it's the build's hot loop.
+
+    docIDs here are PARTITION-LOCAL (0..n-1 in key order). Global ids =
+    local + the partition's manifest-count prefix-sum offset, applied when
+    the merge decodes the runs — so the whole build makes ONE pass over
+    content (no separate count job, no id-stamping re-pass). Same insight as
+    miru's partition-local docID spaces (MiruPartitionCursor.java:29-31).
     """
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    doc_ids = np.arange(len(pdf), dtype=np.int64)
     codes, vocab, parents, n_tokens = tokenize_arrow_flat(pdf["content"])
     doc_lens = np.bincount(parents, minlength=len(pdf)).astype(np.int32)
     flat_docs = doc_ids[parents]
@@ -180,10 +205,11 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
     # forward index rows (miru's activity index analog,
     # miru-plugin/.../index/MiruActivityIndex.java:16-45), fused into the same
     # pass: doc_len comes free from the tokenizer's parent indices — a
-    # separate JVM-tokenize scan measured ~24s/1M docs and didn't parallelize
+    # separate JVM-tokenize scan measured ~24s/1M docs and didn't parallelize.
+    # local_doc_id + pid → globalized by the merge.
     meta = pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "local_doc_id": pa.array(doc_ids, pa.int64()),
             "repo": pa.array(pdf["repo"], pa.string()),
             "path": pa.array(pdf["path"], pa.string()),
             "commit": pa.array(pdf["commit"], pa.string()),
@@ -195,7 +221,7 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
 
 
 def build_segments(
-    corpus_with_ids: DataFrame, index_dir: str, resume: bool = True
+    keyed: DataFrame, index_dir: str, resume: bool = True
 ) -> DataFrame:
     """Build per-partition segment files + manifests; returns manifest DF.
 
@@ -203,7 +229,7 @@ def build_segments(
     recorded manifest and skip all work — the S14/S15 checkpoint contract.
     """
     seg_dir = os.path.join(index_dir, "segments")
-    meta_dir = os.path.join(index_dir, "doc_meta")
+    meta_dir = os.path.join(index_dir, "doc_meta_local")
     man_dir = os.path.join(index_dir, "manifests")
     os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(meta_dir, exist_ok=True)
@@ -233,6 +259,7 @@ def build_segments(
                 yield pd.DataFrame([m])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
                 return
         rows, stats, meta = _build_segment_rows(pdf)
+        meta = meta.append_column("pid", pa.array([pid] * len(meta), pa.int32()))
         seg_file = os.path.join(seg_dir, f"seg_{pid}.parquet")
         meta_file = os.path.join(meta_dir, f"meta_{pid}.parquet")
         table = pa.table(
@@ -253,7 +280,7 @@ def build_segments(
         os.replace(mtmp, man_path)
         yield pd.DataFrame([manifest])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
 
-    return corpus_with_ids.mapInPandas(build, schema=MANIFEST_ROW_SCHEMA)
+    return keyed.mapInPandas(build, schema=MANIFEST_ROW_SCHEMA)
 
 
 def build_field_filters(spark: SparkSession, index_dir: str) -> None:
@@ -295,9 +322,12 @@ def build_index(
     num_partitions: int = 8,
     resume: bool = True,
     check_sha256: bool = True,
+    assume_sorted: bool = False,
 ) -> dict:
-    """End-to-end build: verify sha → docIDs → segments → doc meta → filters
-    → merge (miru_spark.index.merge) → stats. Returns build summary."""
+    """End-to-end build: verify sha → key-partition → ONE content pass
+    (tokenize + segments + forward index, partition-local ids) → merge
+    (globalizes ids from manifest-count offsets, salted by head term) →
+    stats → filters. Returns build summary."""
     from miru_spark.index.merge import merge_segments
 
     if check_sha256 and "sha256" in corpus.columns:
@@ -305,10 +335,10 @@ def build_index(
         if mismatches:
             raise ValueError(f"sha256(content) mismatch on {mismatches} rows")
 
-    with_ids, _ = assign_doc_ids(corpus, num_partitions)
-    manifests = build_segments(with_ids, index_dir, resume=resume).collect()
-    build_field_filters(spark, index_dir)
+    keyed = key_partition(corpus, num_partitions, assume_sorted=assume_sorted)
+    manifests = build_segments(keyed, index_dir, resume=resume).collect()
     summary = merge_segments(spark, index_dir)
+    build_field_filters(spark, index_dir)
     summary["partitions"] = len(manifests)
     summary["skipped_partitions"] = sum(1 for m in manifests if m["status"] == "skipped")
     summary["n_docs"] = sum(m["n_docs"] for m in manifests)

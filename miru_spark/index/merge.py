@@ -48,10 +48,33 @@ MERGED_SCHEMA = T.StructType(
 )
 
 
+def _load_offsets(index_dir: str) -> dict[int, int]:
+    """pid → global docID offset, the prefix sum of manifest doc counts in
+    pid order (pids are key-ordered ranges, so local rank + offset = global
+    key rank — identical to assign_doc_ids at any parallelism)."""
+    man_dir = os.path.join(index_dir, "manifests")
+    counts: dict[int, int] = {}
+    for name in os.listdir(man_dir):
+        if name.endswith(".json"):
+            with open(os.path.join(man_dir, name)) as f:
+                m = json.load(f)
+            counts[m["pid"]] = m["n_docs"]
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return offsets
+
+
 def merge_segments(spark: SparkSession, index_dir: str) -> dict:
-    """segments/*.parquet → merged/ + stats/ + corpus_stats.json."""
+    """segments/*.parquet → merged/ + stats/ + doc_meta/ + corpus_stats.json.
+
+    Applies the global docID offsets while re-encoding (the decode happens
+    anyway for the run concatenation, so globalization is free)."""
+    offsets = _load_offsets(index_dir)
+    off_b = spark.sparkContext.broadcast(offsets)
     seg = spark.read.parquet(os.path.join(index_dir, "segments"))
-    n_pids = seg.select(F.max("pid")).first()[0] + 1
+    n_pids = max(offsets) + 1
 
     # global per-term stats (partial sums per segment row → tiny shuffle)
     stats = seg.groupBy("term").agg(
@@ -73,11 +96,12 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
 
     def merge_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pid")  # pid order == docID order (disjoint ranges)
+        off = off_b.value
         docs = []
         tfs = []
-        for db, tb in zip(pdf["docids"], pdf["tfs"]):
+        for pid, db, tb in zip(pdf["pid"], pdf["docids"], pdf["tfs"]):
             d, t = decode_postings(db, tb)
-            docs.append(d)
+            docs.append(d + off[int(pid)])  # local → global docIDs
             tfs.append(t)
         d = np.concatenate(docs)
         t = np.concatenate(tfs)
@@ -109,6 +133,22 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         .parquet(os.path.join(index_dir, "merged"))
     )
     merged.unpersist()
+
+    # globalize the forward index: doc_id = local rank + partition offset
+    # (slim columns only — content never takes this path)
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, _off long"
+    )
+    (
+        spark.read.parquet(os.path.join(index_dir, "doc_meta_local"))
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            (F.col("local_doc_id") + F.col("_off")).alias("doc_id"),
+            "repo", "path", "commit", "lang", "doc_len",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "doc_meta"))
+    )
 
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     agg = meta.agg(

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.corpus import CORPUS_SCHEMA
-from miru_spark.index.build import assign_doc_ids, build_field_filters, build_segments
+from miru_spark.index.build import build_field_filters, build_segments, key_partition
 
 _BATCHES = "stream_batches.json"
 
@@ -55,10 +55,12 @@ def _save_batches(index_dir: str, batches: dict) -> None:
     os.replace(tmp, p)
 
 
-def _bases(index_dir: str) -> tuple[int, int]:
-    """Next (pid, doc_id) from the manifest high-water marks."""
+def _bases(index_dir: str) -> int:
+    """Next pid from the manifest high-water mark. (docIDs need no base:
+    segments store partition-local ids; the merge assigns global ids from
+    manifest counts in pid order, which IS arrival order here.)"""
     man_dir = os.path.join(index_dir, "manifests")
-    pid_base, doc_base = 0, 0
+    pid_base = 0
     if os.path.isdir(man_dir):
         for name in os.listdir(man_dir):
             if not name.endswith(".json"):
@@ -66,8 +68,7 @@ def _bases(index_dir: str) -> tuple[int, int]:
             with open(os.path.join(man_dir, name)) as f:
                 m = json.load(f)
             pid_base = max(pid_base, m["pid"] + 1)
-            doc_base = max(doc_base, m["doc_id_end"] + 1)
-    return pid_base, doc_base
+    return pid_base
 
 
 def append_batch(
@@ -79,18 +80,13 @@ def append_batch(
         return  # replayed batch — already durable, skip (sip-cursor semantics)
     if batch_df.isEmpty():
         return
-    pid_base, doc_base = _bases(index_dir)
-    # persist=False: micro-batches are small and re-derivable; don't pin
-    # every batch of a long-lived stream into executor storage
-    with_ids, _ = assign_doc_ids(batch_df, partitions_per_batch, persist=False)
-    shifted = with_ids.withColumn("_pid", (F.col("_pid") + F.lit(pid_base)).cast("int")).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(doc_base)
-    )
+    pid_base = _bases(index_dir)
+    keyed = key_partition(batch_df, partitions_per_batch)
+    shifted = keyed.withColumn("_pid", (F.col("_pid") + F.lit(pid_base)).cast("int"))
     manifests = build_segments(shifted, index_dir, resume=False).collect()
     batches[str(batch_id)] = {
         "pids": sorted(m["pid"] for m in manifests),
         "n_docs": sum(m["n_docs"] for m in manifests),
-        "doc_id_start": doc_base,
     }
     _save_batches(index_dir, batches)
 
@@ -122,5 +118,6 @@ def refresh(spark: SparkSession, index_dir: str) -> dict:
     analog). Call after a drain / periodically on a live stream."""
     from miru_spark.index.merge import merge_segments
 
+    summary = merge_segments(spark, index_dir)  # also globalizes doc_meta
     build_field_filters(spark, index_dir)
-    return merge_segments(spark, index_dir)
+    return summary
