@@ -61,3 +61,52 @@ def test_compression_is_compact():
     db, tb, _, _ = encode_postings(docs, tfs)
     assert len(db) < docs.size * 1.1
     assert len(tb) == docs.size
+
+
+def test_run_concatenation_with_first_varint_rewrite():
+    """The merge's zero-decode concatenation: rewriting only the first varint
+    of each run (and shifting block_last) must decode identically to a full
+    decode → offset → re-encode merge."""
+    import numpy as np
+
+    from miru_spark.codec import (
+        decode_block_meta,
+        decode_postings,
+        encode_postings,
+        encode_varint,
+    )
+
+    rng = np.random.default_rng(3)
+    runs = []
+    for _ in range(5):
+        n = int(rng.integers(1, 400))
+        local = np.unique(rng.integers(0, 1000, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 9, size=local.size).astype(np.int64)
+        runs.append((local, tfs))
+    offsets = np.cumsum([0] + [1000] * (len(runs) - 1))
+
+    # oracle: decode-free-merge target
+    gdocs = np.concatenate([d + o for (d, _), o in zip(runs, offsets)])
+    gtfs = np.concatenate([t for _, t in runs])
+
+    d_parts, t_parts, bl_parts, bm_parts = [], [], [], []
+    prev_last = 0
+    for (local, tfs), o in zip(runs, offsets):
+        db, tb, bl, bm = encode_postings(local, tfs)
+        k = 1
+        while db[k - 1] & 0x80:
+            k += 1
+        d_parts.append(encode_varint(np.array([int(local[0]) + o - prev_last], dtype=np.uint64)))
+        d_parts.append(db[k:])
+        t_parts.append(tb)
+        bl_parts.append((np.frombuffer(bl, dtype=np.int64) + o).tobytes())
+        bm_parts.append(bm)
+        prev_last = int(local[-1]) + o
+
+    got_d, got_t = decode_postings(b"".join(d_parts), b"".join(t_parts))
+    assert (got_d == gdocs).all()
+    assert (got_t == gtfs).all()
+    bl, bm = decode_block_meta(b"".join(bl_parts), b"".join(bm_parts))
+    # block_last values must be real docIDs in ascending order ending at max
+    assert (np.diff(bl) > 0).all() and bl[-1] == gdocs[-1]
+    assert np.isin(bl, gdocs).all()
