@@ -56,11 +56,15 @@ def run_build(cores: int, corpus: str, parts: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=1_000_000)
-    ap.add_argument("--n", type=int, default=8, help="small size N; large is 4N")
-    ap.add_argument("--parts", type=int, default=128, help="index partitions (same at both sizes)")
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--sizes", default="2,8,32",
+                    help="comma-separated core counts; efficiency is reported for every 4x pair")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="runs per size; min wall time is used (shared-host noise)")
+    ap.add_argument("--parts", type=int, default=128, help="index partitions (same at all sizes)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
 
     corpus = os.path.join(tempfile.gettempdir(), f"miru_scaling_corpus_{args.rows}.parquet")
     if not os.path.exists(corpus):
@@ -71,26 +75,40 @@ def main() -> None:
             "s = get_spark('gen', cores={cores});"
             "generate_corpus(s, n_rows={rows}, seed=7, partitions={parts})"
             ".write.mode('overwrite').parquet({corpus!r}); s.stop()"
-        ).format(repo=REPO, cores=4 * args.n, rows=args.rows, parts=args.parts, corpus=corpus)
+        ).format(repo=REPO, cores=max(sizes), rows=args.rows, parts=args.parts, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600,
                        capture_output=True, text=True)
 
-    small = run_build(args.n, corpus, args.parts)
-    large = run_build(4 * args.n, corpus, args.parts)
-    speedup = small["sec"] / large["sec"]
+    best: dict[int, dict] = {}
+    for cores in sizes:
+        for rep in range(args.reps):
+            r = run_build(cores, corpus, args.parts)
+            print(f"# cores={cores} rep={rep}: {r['sec']:.1f}s "
+                  f"({r['files_per_sec']:.0f} files/s)", file=sys.stderr)
+            if cores not in best or r["sec"] < best[cores]["sec"]:
+                best[cores] = r
+
+    pairs = []
+    for small in sizes:
+        if small * 4 in best and small in best:
+            speedup = best[small]["sec"] / best[small * 4]["sec"]
+            pairs.append({
+                "cores": f"{small}->{small * 4}",
+                "sec_small": round(best[small]["sec"], 2),
+                "sec_large": round(best[small * 4]["sec"], 2),
+                "files_per_sec_small": round(best[small]["files_per_sec"], 1),
+                "files_per_sec_large": round(best[small * 4]["files_per_sec"], 1),
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(speedup / 4.0, 3),
+                "passes_north_rule": speedup / 4.0 >= 0.8,
+            })
     result = {
         "metric": "indexing-throughput scaling efficiency, N -> 4N cores (sandbox proxy for executors)",
-        "n_files": small["n_files"],
+        "n_files": args.rows,
         "index_partitions": args.parts,
-        "cores_small": small["cores"],
-        "cores_large": large["cores"],
-        "sec_small": round(small["sec"], 2),
-        "sec_large": round(large["sec"], 2),
-        "files_per_sec_small": round(small["files_per_sec"], 1),
-        "files_per_sec_large": round(large["files_per_sec"], 1),
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(speedup / 4.0, 3),
-        "passes_north_rule": speedup / 4.0 >= 0.8,
+        "reps": args.reps,
+        "throughput_files_per_sec": {str(c): round(best[c]["files_per_sec"], 1) for c in sizes if c in best},
+        "pairs": pairs,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
