@@ -237,7 +237,7 @@ def build_segments(
 
     def _write_atomic(table: pa.Table, path: str) -> None:
         tmp = path + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(table, tmp, compression="zstd")
+        pq.write_table(table, tmp, compression="snappy")
         os.replace(tmp, path)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
