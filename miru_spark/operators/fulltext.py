@@ -30,7 +30,11 @@ QUERY_TERMS_OR = ["vector", "window", "stream"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # tiny bench files arrive as ONE parquet row group = one task; spread the
+    # scan so the JVM tokenize work parallelizes (no-op cost at real scale,
+    # where the source table has thousands of splits)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _doc_terms(docs: DataFrame) -> DataFrame:

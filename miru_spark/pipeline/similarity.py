@@ -18,7 +18,9 @@ from pyspark.sql.window import Window
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread single-row-group bench files across cores (no-op at real scale)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -26,7 +26,11 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # tiny bench files arrive as ONE parquet row group = one task; spread the
+    # scan so the JVM tokenize work parallelizes (no-op cost at real scale,
+    # where the source table has thousands of splits)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
