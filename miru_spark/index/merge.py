@@ -66,11 +66,81 @@ def _load_offsets(index_dir: str) -> dict[int, int]:
     return offsets
 
 
-def merge_segments(spark: SparkSession, index_dir: str) -> dict:
+INTERMEDIATE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("runkey", T.LongType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("docids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("block_last", T.BinaryType()),
+        T.StructField("block_max_tf", T.BinaryType()),
+    ]
+)
+
+
+def _concat_runs(pdf: pd.DataFrame, off: dict, runcol: str) -> dict:
+    """Concatenate docID-ordered posting runs WITHOUT decoding.
+
+    Delta encoding makes a run position-independent except for its first
+    gap: rewriting run i's first varint to
+    ``(min_doc_i + offset_i) − (max_doc_{i−1} + offset_{i−1})`` and
+    byte-concatenating the rest globalizes + merges in O(bytes) — the same
+    only-touch-the-boundary property miru gets from atomized posting keys
+    (LabInvertedIndex.java:87-150). TF payloads are gap-free varints (pure
+    concat); block_last arrays shift by the offset vectorized. ``off`` maps
+    runcol → docID offset (empty after the first level: ids already global).
+    Associative, so hierarchical multi-level merging yields identical bytes.
+    """
+    pdf = pdf.sort_values(runcol)  # run order == docID order (disjoint ranges)
+    d_parts: list[bytes] = []
+    bl_parts: list[bytes] = []
+    prev_last = 0
+    gmin = -1
+    df = 0
+    cf = 0
+    for rk, db, mind, maxd, bl, rdf, rcf in zip(
+        pdf[runcol], pdf["docids"], pdf["min_doc"], pdf["max_doc"],
+        pdf["block_last"], pdf["df"], pdf["cf"]
+    ):
+        o = off.get(int(rk), 0)
+        gfirst = int(mind) + o
+        k = 1  # length of the first varint in db
+        while db[k - 1] & 0x80:
+            k += 1
+        d_parts.append(encode_varint(np.array([gfirst - prev_last], dtype=np.uint64)))
+        d_parts.append(db[k:])
+        bl_parts.append((np.frombuffer(bl, dtype=np.int64) + o).tobytes() if o else bytes(bl))
+        prev_last = int(maxd) + o
+        if gmin < 0:
+            gmin = gfirst
+        df += int(rdf)
+        cf += int(rcf)
+    return {
+        "df": df,
+        "cf": cf,
+        "min_doc": gmin,
+        "max_doc": prev_last,
+        "docids": b"".join(d_parts),
+        "tfs": b"".join(pdf["tfs"]),
+        "block_last": b"".join(bl_parts),
+        "block_max_tf": b"".join(pdf["block_max_tf"]),
+    }
+
+
+def merge_segments(spark: SparkSession, index_dir: str, fanin: int | None = None) -> dict:
     """segments/*.parquet → merged/ + stats/ + doc_meta/ + corpus_stats.json.
 
-    Applies the global docID offsets while re-encoding (the decode happens
-    anyway for the run concatenation, so globalization is free)."""
+    Applies the global docID offsets during the first concatenation level
+    (free — only first varints are rewritten). ``fanin`` bounds how many runs
+    any single reduce task concatenates: with more partitions than ``fanin``,
+    intermediate hierarchical levels merge ``fanin`` adjacent runs at a time
+    (within their salt shard, so skew bounds still hold) — the tree merge a
+    10^6-partition build needs so no task ever sees a million runs."""
     offsets = _load_offsets(index_dir)
     off_b = spark.sparkContext.broadcast(offsets)
     seg = spark.read.parquet(os.path.join(index_dir, "segments"))
@@ -94,64 +164,40 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         "shard", (F.col("pid") / F.col("span")).cast("int")
     )
 
-    def merge_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        """Concatenate a term's per-partition runs WITHOUT decoding.
+    # runkey = run index within the (term, shard) group, ascending with pid
+    # (shard = pid // span ⇒ runkey = pid % span); offsets are applied at the
+    # FIRST concatenation level, keyed by original pid
+    level = salted.withColumn("runkey", (F.col("pid") % F.col("span")).cast("long"))
+    width = n_pids  # upper bound on runs per (term, shard) group
+    first_level = True
 
-        Delta encoding makes a run position-independent except for its first
-        gap: rewriting run i's first varint to
-        ``(min_doc_i + offset_i) − (max_doc_{i−1} + offset_{i−1})`` and
-        byte-concatenating the rest globalizes + merges in O(bytes) — the
-        same only-touch-the-boundary property miru gets from atomized
-        posting keys (LabInvertedIndex.java:87-150). TF payloads are
-        gap-free varints (pure concat); block_last arrays shift by the
-        partition offset vectorized. Decode/re-encode of 10^8+ postings
-        measured ~2.5x the cost of everything else in the merge.
-        """
-        pdf = pdf.sort_values("pid")  # pid order == docID order (disjoint ranges)
-        off = off_b.value
-        d_parts: list[bytes] = []
-        bl_parts: list[bytes] = []
-        prev_last = 0
-        gmin = -1
-        df = 0
-        cf = 0
-        for pid, db, mind, maxd, bl, rdf, rcf in zip(
-            pdf["pid"], pdf["docids"], pdf["min_doc"], pdf["max_doc"],
-            pdf["block_last"], pdf["df"], pdf["cf"]
-        ):
-            o = off[int(pid)]
-            gfirst = int(mind) + o
-            k = 1  # length of the first varint in db
-            while db[k - 1] & 0x80:
-                k += 1
-            d_parts.append(encode_varint(np.array([gfirst - prev_last], dtype=np.uint64)))
-            d_parts.append(db[k:])
-            bl_parts.append((np.frombuffer(bl, dtype=np.int64) + o).tobytes())
-            prev_last = int(maxd) + o
-            if gmin < 0:
-                gmin = gfirst
-            df += int(rdf)
-            cf += int(rcf)
-        return pd.DataFrame(
-            [
-                {
-                    "term": key[0],
-                    "shard": int(key[1]),
-                    "df": df,
-                    "cf": cf,
-                    "min_doc": gmin,
-                    "max_doc": prev_last,
-                    "docids": b"".join(d_parts),
-                    "tfs": b"".join(pdf["tfs"]),
-                    "block_last": b"".join(bl_parts),
-                    "block_max_tf": b"".join(pdf["block_max_tf"]),
-                }
+    def make_level(apply_offsets: bool, group_runs: int | None):
+        """Build the applyInPandas fn for one merge level. group_runs=None →
+        final level (collapse to one row per (term, shard))."""
+        def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            off = off_b.value if apply_offsets else {}
+            row = _concat_runs(pdf, off, "pid" if apply_offsets else "runkey")
+            out = {"term": key[0], "shard": int(key[1]), **row}
+            if group_runs is not None:
+                out["runkey"] = int(key[2])
+            return pd.DataFrame([out])[
+                [f.name for f in (INTERMEDIATE_SCHEMA if group_runs is not None else MERGED_SCHEMA).fields]
             ]
+        return fn
+
+    while fanin and width > fanin:
+        grouped = level.withColumn("gk", (F.col("runkey") / F.lit(fanin)).cast("long"))
+        level = grouped.groupBy("term", "shard", "gk").applyInPandas(
+            make_level(first_level, fanin), schema=INTERMEDIATE_SCHEMA
         )
+        first_level = False
+        width = -(-width // fanin)
 
     # persist before repartitionByRange: the range partitioner's sampling
     # pass would otherwise EXECUTE the whole merge twice (measured ~2x)
-    merged = salted.groupBy("term", "shard").applyInPandas(merge_one, schema=MERGED_SCHEMA).persist()
+    merged = level.groupBy("term", "shard").applyInPandas(
+        make_level(first_level, None), schema=MERGED_SCHEMA
+    ).persist()
     (
         merged.repartitionByRange(max(8, n_pids), "term")
         .sortWithinPartitions("term", "shard")
