@@ -25,9 +25,13 @@ _TOK_CTE = f"tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)"
 _TOKARR_CTE = f"tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
 
 # BM25 over documents, parameterized by term list + conjunctive flag
-def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10) -> str:
+def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10, langs: list[str] | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     nt_filter = f"WHERE nt = {len(terms)}" if conjunctive else ""
+    if langs:  # filter candidates only — df/avgdl/N stay corpus-global
+        ll = ", ".join(f"'{x}'" for x in langs)
+        extra = f"AND doc_id IN (SELECT doc_id FROM documents WHERE lang IN ({ll}))"
+        nt_filter = (nt_filter + " " + extra) if nt_filter else ("WHERE true " + extra)
     return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -97,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and": ft.ft_bm25_and,
         "ft_bm25_or": ft.ft_bm25_or,
         "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
+        "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
+        "ft_snippets": ft.ft_snippets,
         "ft_tfidf_miru": ft.ft_tfidf_miru,
         "ft_term_stats": ft.ft_term_stats,
         "ft_conjunctive_count": ft.ft_conjunctive_count,
@@ -175,6 +181,29 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_and": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
         "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
         "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
+        "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
+        "ft_snippets": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+hits AS (SELECT * FROM tf WHERE term IN ('merge', 'sort')),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         sum(ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (h.tf * 2.2) / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))) AS s,
+         count(*) AS nt
+  FROM hits h JOIN dfs f USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY h.doc_id),
+top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id DESC) AS rank
+  FROM scored WHERE nt = 2 QUALIFY rank <= 10)
+SELECT t.doc_id, t.rank,
+       substr(d.text, greatest(1, strpos(lower(d.text), 'merge') - 20), 60) AS snippet
+FROM top t JOIN documents d USING (doc_id) ORDER BY t.rank
+""",
         "ft_tfidf_miru": f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

@@ -209,3 +209,36 @@ def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "rank")
     )
+
+
+def ft_serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path under the oracle gate: block-max WAND + roaring
+    lang-filter bitmaps (search_local) over the real index, lang IN (en, de).
+    Rank by rounded score to match the oracle's tie handling."""
+    from miru_spark.query.scorer import search_local
+
+    idx = build_documents_index(spark, sf_dir)
+    res = search_local(idx, "merge AND sort", k=10, lang_filter=["en", "de"], gather=True)
+    schema = "doc_id long, score double, rank int"
+    if len(res) == 0:
+        return spark.createDataFrame([], schema)
+    res = res.assign(
+        doc_id=res["path"].str[4:14].astype("int64"), score=res["score"].round(6)
+    ).sort_values(["score", "doc_id"], ascending=False, kind="mergesort")
+    res["rank"] = range(1, len(res) + 1)
+    return spark.createDataFrame(res[["doc_id", "score", "rank"]], schema)
+
+
+def ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 highlighting analog (LuceneBackedQueryParser.java:56-74): for the
+    BM25 top-10 of `merge AND sort`, return a 60-char snippet centered on the
+    first occurrence of 'merge' — pure string expressions, exact oracle."""
+    docs = _docs(spark, sf_dir)
+    top = ft_bm25_and(spark, sf_dir)
+    pos = F.locate("merge", F.lower(F.col("text")))
+    snippet = F.substring(F.col("text"), F.greatest(F.lit(1), pos - 20), 60)
+    return (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "rank", snippet.alias("snippet"))
+        .orderBy("rank")
+    )

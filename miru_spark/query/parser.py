@@ -212,3 +212,29 @@ def positive_prefixes(node: Node) -> set[str]:
     if isinstance(node, Not):
         return positive_prefixes(node.positive)
     return set()
+
+
+def required_terms(node: Node) -> set[str]:
+    """Terms that MUST be present for any doc to match: AND = union of
+    children's required sets, OR = intersection, NOT = required(positive).
+    If any required term is absent from the dictionary, the answer is empty —
+    miru's abort-if-empty short circuit lifted to the driver
+    (MiruAggregateUtil.java:1143, 1175-1177)."""
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Prefix):
+        return set()
+    if isinstance(node, And):
+        out: set[str] = set()
+        for c in node.children:
+            out |= required_terms(c)
+        return out
+    if isinstance(node, Or):
+        sets = [required_terms(c) for c in node.children]
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return out
+    if isinstance(node, Not):
+        return required_terms(node.positive)
+    raise TypeError(type(node))

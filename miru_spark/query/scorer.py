@@ -389,8 +389,22 @@ def search_distributed(
     scoring = qp.positive_terms(ast) | {
         t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
     }
+    empty_schema = "doc_id long, score double, repo string, path string, commit string, lang string"
     if not needed:
-        return spark.createDataFrame([], "doc_id long, score double, repo string, path string, commit string, lang string")
+        return spark.createDataFrame([], empty_schema)
+
+    # driver-side abort-if-empty (miru's AND short circuit,
+    # MiruAggregateUtil.java:1143): a required conjunct term absent from the
+    # dictionary → the answer is provably empty, skip the whole job
+    required = qp.required_terms(ast)
+    if required:
+        ds = pads.dataset(os.path.join(index_dir, "stats"))
+        present = set(
+            ds.to_table(columns=["term"], filter=pads.field("term").isin(sorted(required)))
+            .column("term").to_pylist()
+        )
+        if required - present:
+            return spark.createDataFrame([], empty_schema)
 
     merged = (
         spark.read.parquet(os.path.join(index_dir, "merged"))
