@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from miru_spark.analyzer import SPLIT_PATTERN
 from miru_spark.operators import fulltext as ft
 from miru_spark.operators import relational as rel
-from miru_spark.pipeline import dedup, similarity, text
+from miru_spark.pipeline import dedup, multimodal, similarity, text
 
 # ---------------------------------------------------------------- SQL snippets
 _TOKS = f"list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')"
@@ -89,6 +89,34 @@ sh AS (
 """
 
 
+def _media_features_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind feature stats from the Arrow-batched extractor."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.synthesize_media(spark, n=120, partitions=4)
+    feats = multimodal.extract_features(media)
+    norm = F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        feats.select("kind", norm.alias("norm"))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 6).alias("avg_norm"))
+        .orderBy("kind")
+    )
+
+
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: sampled-frame counts per video."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.synthesize_media(spark, n=120, partitions=4)
+    return (
+        multimodal.sample_frames(media, every_nth=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames_sampled"))
+        .orderBy("media_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build a REAL inverted index over sf0.001 documents and answer
     a BM25 conjunction through the distributed query path."""
@@ -137,6 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": similarity.ivf_topk,  # approximate — rows-only check
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
+        # multimodal plumbing (deterministic synthetic media; decode stubbed —
+        # non-SQL-expressible → rows-only check, pinned by tests/test_multimodal.py)
+        "media_features_stats": _media_features_stats,
+        "media_frame_sample": _media_frame_sample,
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,

@@ -1,0 +1,67 @@
+"""Multimodal plumbing: schema, Arrow batch shapes, deterministic stand-in
+decode, frame sampling and resize arithmetic. The real codecs are stubbed
+(no image/audio libs in this container) — these tests pin the Spark-side
+contract that a real decoder would drop into."""
+
+import numpy as np
+import pytest
+
+from miru_spark.pipeline.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    resize_meta,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synthesize_media(spark, n=60, partitions=3).persist()
+    df.count()
+    return df
+
+
+def test_media_schema_and_determinism(media, spark):
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == 60
+    again = {r["media_id"]: r for r in synthesize_media(spark, n=60, partitions=5).collect()}
+    for k in rows:
+        assert bytes(rows[k]["payload"]) == bytes(again[k]["payload"])  # partition-count independent
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio" and rows[2]["kind"] == "video"
+    assert rows[1]["meta"]["sample_rate"] == 16000
+    assert rows[2]["meta"]["n_frames"] is not None
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
+    img = decode_image(b"\x00\x01", fake=True)
+    assert img.shape == (4, 4, 3) and img.dtype == np.uint8
+
+
+def test_extract_features_shape_and_range(media):
+    feats = extract_features(media).collect()
+    assert len(feats) == 60
+    for r in feats:
+        v = np.asarray(r["features"], dtype=np.float32)
+        assert v.shape == (FEATURE_DIM,)
+        assert (0.0 <= v).all() and (v <= 1.0).all()
+
+
+def test_sample_frames_counts(media):
+    out = sample_frames(media, every_nth=2).groupBy("media_id").count().collect()
+    metas = {r["media_id"]: r["meta"]["n_frames"] for r in media.filter("kind = 'video'").collect()}
+    got = {r["media_id"]: r["count"] for r in out}
+    assert set(got) == set(metas)
+    for mid, nf in metas.items():
+        assert got[mid] == (nf + 1) // 2  # indices 0,2,4,... below n_frames
+
+
+def test_resize_meta_aspect_preserved(media):
+    for r in resize_meta(media, max_side=16).collect():
+        assert max(r["target_w"], r["target_h"]) <= 16
+        if r["width"] <= 16 and r["height"] <= 16:
+            assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
+        assert r["target_w"] >= 1 and r["target_h"] >= 1
