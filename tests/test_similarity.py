@@ -1,0 +1,32 @@
+"""Similarity search: IVF recall vs the exact brute force, and LSH bucket
+balance — the properties an ANN index must hold at scale."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sfdir(sf_dir):
+    return sf_dir
+
+
+def test_ivf_recall_against_bruteforce(spark, sfdir):
+    from miru_spark.pipeline.similarity import cosine_topk_bruteforce, ivf_topk
+
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(spark, sfdir, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(spark, sfdir, k=10, n_probe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10.0
+    assert recall >= 0.5, f"IVF recall {recall} too low (probing 3/|labels| cells)"
+    # full probe == exact (IVF degenerates to brute force)
+    n_labels = spark.read.parquet(f"{sfdir}/embeddings.parquet").select("label").distinct().count()
+    full = [r["vec_id"] for r in ivf_topk(spark, sfdir, k=10, n_probe=n_labels).collect()]
+    assert full == exact
+
+
+def test_lsh_buckets_nontrivial(spark, sfdir):
+    from miru_spark.pipeline.similarity import lsh_bucket_stats
+
+    rows = lsh_bucket_stats(spark, sfdir).collect()
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == spark.read.parquet(f"{sfdir}/embeddings.parquet").count()
+    assert len(rows) > 4  # vectors actually spread across buckets
+    assert max(r["n"] for r in rows) < n_total  # no single-bucket collapse
