@@ -48,9 +48,9 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
 
 
 def _bm25_scored(docs: DataFrame, terms: list[str], conjunctive: bool) -> DataFrame:
-    n_docs = docs.count()
+    stats = docs.agg(F.count("*"), F.avg(F.size(tokens_col("text")))).first()
+    n_docs, avgdl = stats[0], stats[1]
     dt = _doc_terms(docs)
-    avgdl = docs.select(F.avg(F.size(tokens_col("text")))).first()[0]
     hits = dt.filter(F.col("term").isin(terms))
     df_stats = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (

@@ -56,14 +56,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct n-token shingles, JVM-side via transform
-    over the token array (no UDF)."""
-    toks = tokens_col("text")
+    over the token array (no UDF). Tokens are materialized once per row —
+    the shingle expression references them 3x."""
+    with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
     sh = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        with_toks.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -197,7 +199,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2
         all_chunks = all_chunks.unionAll(x)
     a, b = all_chunks.alias("a"), all_chunks.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ham = sum(F.shiftright(xor, i).bitwiseAND(F.lit(1)) for i in range(16))
+    ham = F.bit_count(xor)  # JVM popcount (was 16 shift-and terms)
     return (
         a.join(
             b,
@@ -210,7 +212,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2
             F.col("b.doc_id").alias("id_b"),
             ham.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink the shuffle
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )

@@ -37,8 +37,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang token statistics: docs, total tokens (whitespace+regex
     analyzer), distinct terms, BPE-ish subword count (4-char chunks —
     a deterministic stand-in for a BPE vocab)."""
-    docs = _docs(spark, sf_dir)
-    toks = tokens_col("text")
+    docs = _docs(spark, sf_dir).select("lang", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
     # integer subword count per token: (len+3)//4 — floor BEFORE summing so
     # the DuckDB oracle's integer division matches exactly
     n_sub = F.aggregate(
@@ -47,22 +47,16 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
     )
     per_doc = docs.select(
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        n_sub.alias("n_subwords"),
-        F.explode_outer(toks).alias("term"),
+        "lang", F.size(toks).alias("nt"), n_sub.alias("ns"), "toks"
+    ).persist()
+    distinct = (
+        per_doc.select("lang", F.explode_outer(toks).alias("term"))
+        .groupBy("lang")
+        .agg(F.countDistinct("term").alias("n_distinct_terms"))
     )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.countDistinct("term").alias("n_distinct_terms"),
-        )
-        .join(
-            docs.select(
-                "lang", F.size(toks).alias("nt"), n_sub.alias("ns")
-            )
-            .groupBy("lang")
-            .agg(
+    out = (
+        distinct.join(
+            per_doc.groupBy("lang").agg(
                 F.count("*").alias("n_docs"),
                 F.sum("nt").alias("n_tokens"),
                 F.sum("ns").alias("n_subwords"),
@@ -72,14 +66,15 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_tokens", "n_distinct_terms", "n_subwords")
         .orderBy("lang")
     )
+    return out
 
 
 def quality_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Heuristic quality score per doc: length, mean token length, stopword
     ratio, alpha ratio — the C4/Gopher-style filters as one JVM expression.
     Returns bottom-k (the docs a pipeline would drop)."""
-    docs = _docs(spark, sf_dir)
-    toks = tokens_col("text")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     sw = F.size(F.filter(toks, lambda t: F.array_position(sw_arr, t) > 0))
@@ -110,8 +105,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: predicted lang = argmax marker hits (ties →
     lexicographically smallest lang). Output: confusion counts
     (lang, lang_pred, n) — deterministic and oracle-checkable."""
-    docs = _docs(spark, sf_dir)
-    toks = tokens_col("text")
+    # materialize the token array ONCE per row — referencing tokens_col per
+    # lang would re-run the regex split 5x (measured ~4x slower)
+    docs = _docs(spark, sf_dir).select("lang", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
     # deterministic argmax over langs: fold with strict > so ties keep the
     # lexicographically-first lang (matches the oracle's argmax rule)
     pred = F.lit(None).cast("string")
