@@ -110,3 +110,21 @@ def test_run_concatenation_with_first_varint_rewrite():
     # block_last values must be real docIDs in ascending order ending at max
     assert (np.diff(bl) > 0).all() and bl[-1] == gdocs[-1]
     assert np.isin(bl, gdocs).all()
+
+
+def test_waveform_codec_roundtrip_and_compression():
+    """miru's Waveform delta+compress analog (Waveform.java:22-90):
+    round-trip exact, and flat-ish waveforms compress well."""
+    import numpy as np
+
+    from miru_spark.functions.waveform import compress_waveform, decompress_waveform
+
+    rng = np.random.default_rng(11)
+    flat = 1000 + rng.integers(-3, 4, size=512)
+    blob = compress_waveform(flat)
+    assert (decompress_waveform(blob) == flat).all()
+    assert len(blob) < flat.nbytes / 8  # delta+varint+deflate earns its keep
+
+    for wave in (np.zeros(1, dtype=np.int64), rng.integers(-(10**12), 10**12, size=100),
+                 np.array([], dtype=np.int64)):
+        assert (decompress_waveform(compress_waveform(wave)) == wave).all()
