@@ -28,6 +28,19 @@ class Prefix:
     prefix: str
 
 
+FILTER_FIELDS = ("lang", "repo")
+
+
+@dataclass(frozen=True)
+class Field:
+    """Non-scored field filter clause (`lang:python`, `repo:org1/repo1`) —
+    miru's MiruFieldFilter on a non-text field (MiruFieldFilter.java:14-47);
+    resolved against the roaring filter bitmaps, contributes no BM25 score."""
+
+    field: str
+    value: str
+
+
 @dataclass(frozen=True)
 class And:
     children: tuple = field(default_factory=tuple)
@@ -127,6 +140,11 @@ class _Parser:
             if self.peek() == ")":
                 self.next()
             return node
+        if ":" in t:
+            fld, _, val = t.partition(":")
+            if fld in FILTER_FIELDS and val:
+                return Field(fld, val)  # value NOT analyzer-tokenized (raw field value)
+            raise ValueError(f"unknown filter field {fld!r} (supported: {FILTER_FIELDS})")
         if t.endswith("*") and len(t) > 1:
             toks = tokenize_one(t[:-1])
             base = "".join(toks)
@@ -161,7 +179,7 @@ def positive_terms(node: Node) -> set[str]:
     positive filter context, MiruAggregateUtil.java:1149,1204-1220)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Field)):
         return set()
     if isinstance(node, (And, Or)):
         out: set[str] = set()
@@ -176,7 +194,7 @@ def positive_terms(node: Node) -> set[str]:
 def all_terms(node: Node) -> set[str]:
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Field)):
         return set()
     if isinstance(node, (And, Or)):
         out: set[str] = set()
@@ -222,7 +240,7 @@ def required_terms(node: Node) -> set[str]:
     (MiruAggregateUtil.java:1143, 1175-1177)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Field)):
         return set()
     if isinstance(node, And):
         out: set[str] = set()

@@ -151,9 +151,12 @@ def load_filter_set(index_dir: str, field: str, values: list[str]) -> np.ndarray
     return roaring.to_array(load_filter_bitmap(index_dir, field, values))
 
 
-def _eval_ast(node, postings, expansions) -> np.ndarray:
+def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
     if isinstance(node, qp.Term):
         return postings.get(node.term, (np.empty(0, dtype=np.int64),))[0]
+    if isinstance(node, qp.Field):
+        # field filter clause → its roaring bitmap, decoded as a doc set
+        return load_filter_set(index_dir, node.field, [node.value])
     if isinstance(node, qp.Prefix):
         sets = [postings[t][0] for t in expansions.get(node.prefix, []) if t in postings]
         if not sets:
@@ -163,7 +166,7 @@ def _eval_ast(node, postings, expansions) -> np.ndarray:
             out = np.union1d(out, s)
         return out
     if isinstance(node, qp.And):
-        sets = sorted((_eval_ast(c, postings, expansions) for c in node.children), key=len)
+        sets = sorted((_eval_ast(c, postings, expansions, index_dir) for c in node.children), key=len)
         out = sets[0]
         for s in sets[1:]:
             if out.size == 0:
@@ -173,11 +176,11 @@ def _eval_ast(node, postings, expansions) -> np.ndarray:
     if isinstance(node, qp.Or):
         out = np.empty(0, dtype=np.int64)
         for c in node.children:
-            out = np.union1d(out, _eval_ast(c, postings, expansions))
+            out = np.union1d(out, _eval_ast(c, postings, expansions, index_dir))
         return out
     if isinstance(node, qp.Not):
-        pos = _eval_ast(node.positive, postings, expansions)
-        neg = _eval_ast(node.negative, postings, expansions)
+        pos = _eval_ast(node.positive, postings, expansions, index_dir)
+        neg = _eval_ast(node.negative, postings, expansions, index_dir)
         return np.setdiff1d(pos, neg, assume_unique=True)
     raise TypeError(type(node))
 
@@ -309,7 +312,7 @@ def search_local(
             scoring_terms, postings, k, h.n_docs, doclens, h.avgdl, diag=diag
         )
     else:
-        cand = _eval_ast(ast, postings, expansions)
+        cand = _eval_ast(ast, postings, expansions, index_dir)
     if diag is not None:
         diag["scored"] = int(cand.size)
     if lang_filter:  # roaring AND into the candidate set (container-skipping)
@@ -344,6 +347,8 @@ def _ast_to_condition(node, expansions) -> F.Column:
     """AST → boolean Column over the per-doc matched-terms set column `mts`."""
     if isinstance(node, qp.Term):
         return F.array_contains("mts", node.term)
+    if isinstance(node, qp.Field):
+        return F.col(node.field) == node.value  # doc_meta column carried through the agg
     if isinstance(node, qp.Prefix):
         terms = expansions.get(node.prefix, [])
         if not terms:

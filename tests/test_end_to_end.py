@@ -93,3 +93,36 @@ def test_blockmax_wand_matches_oracle_many_disjunctions(tiny_index, corpus_with_
         got = search_local(tiny_index, q, k=10, diag={})
         exp = oracle_topk(corpus_with_ids, q, k=10).toPandas()
         _assert_rank_identical(got, exp, q)
+
+
+def test_field_filter_clauses_match_filter_args(tiny_index, spark):
+    """`lang:python` / `repo:x` clauses in the query string must behave
+    exactly like the explicit filter arguments (both resolve to the roaring
+    filter bitmaps)."""
+    for q, kw in [
+        ("merge AND sort AND lang:python", dict(lang_filter=["python"])),
+        ("def AND repo:org1/repo1", dict(repo_filter=["org1/repo1"])),
+        ("merge AND sort AND lang:python AND lang:go", dict()),  # two langs AND → empty
+    ]:
+        a = search_local(tiny_index, q, k=10)
+        base_q = " AND ".join(w for w in q.split(" AND ") if ":" not in w)
+        b = search_local(tiny_index, base_q, k=10, **kw) if kw else None
+        if b is not None:
+            assert a["doc_id"].tolist() == b["doc_id"].tolist()
+            assert a["score"].tolist() == b["score"].tolist()
+        else:
+            assert len(a) == 0  # conjunctive lang:python AND lang:go is empty
+
+    # distributed path agrees
+    d = search_distributed(spark, tiny_index, "merge AND sort AND lang:python", k=10).toPandas()
+    l = search_local(tiny_index, "merge AND sort AND lang:python", k=10)
+    assert d["doc_id"].tolist() == l["doc_id"].tolist()
+
+
+def test_unknown_field_rejected(tiny_index):
+    import pytest as _pytest
+
+    from miru_spark.query import parser as qp
+
+    with _pytest.raises(ValueError):
+        qp.parse_query("merge AND author:bob")
