@@ -36,6 +36,19 @@ def test_head_terms_are_sharded(spark, tiny_corpus, tmp_path, monkeypatch):
     # total df preserved
     assert head["df"].sum() == rows[rows["term"] == "def"]["df"].sum()
 
+    # queries over the SHARDED index stay rank-identical to the oracle
+    # (shard concatenation in load_postings + WAND over multi-run blocks)
+    from miru_spark.index.build import assign_doc_ids
+    from miru_spark.query.oracle import oracle_topk
+
+    with_ids, _ = assign_doc_ids(tiny_corpus, 8)
+    for q in ("def", "def AND license", "def OR merge", "def AND NOT sort"):
+        got = search_local(idx, q, k=10)
+        exp = oracle_topk(with_ids, q, k=10).toPandas()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), q
+        for g, e in zip(got["score"], exp["score"]):
+            assert abs(float(g) - float(e)) <= 1e-9 * max(1.0, abs(float(e)))
+
 
 def test_rare_terms_single_row(spark, tiny_index):
     rows = pq.read_table(os.path.join(tiny_index, "merged")).to_pandas()
