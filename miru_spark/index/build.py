@@ -334,6 +334,9 @@ def build_index(
         mismatches = verify_sha256(corpus)
         if mismatches:
             raise ValueError(f"sha256(content) mismatch on {mismatches} rows")
+    if "sha256" in corpus.columns:
+        # already verified — don't haul 64 B/row through the shuffle + Arrow
+        corpus = corpus.drop("sha256")
 
     keyed = key_partition(corpus, num_partitions, assume_sorted=assume_sorted)
     manifests = build_segments(keyed, index_dir, resume=resume).collect()
