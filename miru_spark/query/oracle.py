@@ -35,6 +35,10 @@ def _ast_condition(node, matched_terms_col, expansions):
         if not terms:
             return F.lit(False)
         return F.arrays_overlap(matched_terms_col, F.array(*[F.lit(t) for t in terms]))
+    if isinstance(node, qp.Field):
+        # evaluated after the meta join (lang/repo columns present); note:
+        # a query with ONLY field clauses has no term hits and is engine-only
+        return F.col(node.field) == node.value
     if isinstance(node, qp.And):
         c = F.lit(True)
         for ch in node.children:
@@ -106,10 +110,10 @@ def oracle_topk(
     per_doc = hits.groupBy("doc_id").agg(
         F.collect_set("term").alias("mts"), F.sum("contrib").alias("score")
     )
-    out = per_doc.filter(_ast_condition(qp.parse_query(query), F.col("mts"), expansions))
-    out = out.join(
+    out = per_doc.join(
         corpus_with_ids.select("doc_id", "repo", "path", "commit", "lang"), "doc_id"
     )
+    out = out.filter(_ast_condition(ast, F.col("mts"), expansions))
     if lang_filter:
         out = out.filter(F.col("lang").isin(lang_filter))
     if repo_filter:
