@@ -99,3 +99,37 @@ def test_blockmax_exact_theta_tie_kept():
     postings = {"a": _mk(docs, tfs), "b": other}
     cand = _blockmax_wand_candidates({"a", "b"}, postings, 10, N_DOCS, doclens, AVGDL)
     assert np.isin(docs, cand).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_wand_topk_property(data):
+    """Random posting lists + doc lengths: WAND candidates must always
+    contain the true top-k (soundness under arbitrary tf/df shapes)."""
+    n_terms = data.draw(st.integers(2, 5))
+    doclens = np.full(N_DOCS, int(AVGDL), dtype=np.int64)
+    postings = {}
+    for t in range(n_terms):
+        n = data.draw(st.integers(1, 300))
+        lo = data.draw(st.integers(0, 10_000))
+        docs = np.unique(
+            np.asarray(data.draw(st.lists(st.integers(lo, lo + 5000), min_size=n, max_size=n)))
+        ).astype(np.int64)
+        tfs = np.asarray(
+            data.draw(st.lists(st.integers(1, 12), min_size=docs.size, max_size=docs.size))
+        ).astype(np.int64)
+        postings[f"t{t}"] = _mk(docs, tfs)
+    k = data.draw(st.integers(1, 15))
+
+    cand = _blockmax_wand_candidates(set(postings), postings, k, N_DOCS, doclens, AVGDL)
+    exp_docs, exp_scores = _bruteforce_topk(postings, doclens, k)
+    kk = min(k, exp_docs.size)
+    assert np.isin(exp_docs[:kk], cand).all()
+    scores = _score_candidates(cand, set(postings), postings, doclens, N_DOCS, AVGDL)
+    order = np.lexsort((cand, scores))[::-1][:kk]
+    np.testing.assert_array_equal(cand[order], exp_docs[:kk])
+    np.testing.assert_allclose(scores[order], exp_scores[:kk], rtol=1e-12)
