@@ -65,6 +65,16 @@ def cmd_build(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_compact(args) -> None:
+    from miru_spark.index.compact import compact
+    from miru_spark.index.merge import merge_segments
+
+    stats = compact(args.index_dir, target_docs=args.target_docs)
+    spark = _spark(args)
+    stats["merge"] = merge_segments(spark, args.index_dir)
+    print(json.dumps(stats))
+
+
 def cmd_search(args) -> None:
     lang = args.lang.split(",") if args.lang else None
     repo = args.repo.split(",") if args.repo else None
@@ -100,6 +110,12 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--no-sha-check", action="store_true")
     b.add_argument("--local-cores", type=int, default=0)
     b.set_defaults(fn=cmd_build)
+
+    c = sub.add_parser("compact", help="compact small (streamed) index partitions")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--target-docs", type=int, default=1_000_000)
+    c.add_argument("--local-cores", type=int, default=0)
+    c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("--index-dir", required=True)
