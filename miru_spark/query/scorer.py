@@ -76,7 +76,7 @@ def expand_prefixes(index_dir: str, prefix_set: set[str]) -> dict[str, list[str]
     out: dict[str, list[str]] = {}
     if not prefix_set:
         return out
-    ds = pads.dataset(os.path.join(index_dir, "stats"))
+    ds = _dataset(index_dir, "stats")
     for p in prefix_set:
         hi = p + "￿"
         t = ds.to_table(columns=["term"], filter=(pads.field("term") >= p) & (pads.field("term") < hi))
@@ -86,22 +86,64 @@ def expand_prefixes(index_dir: str, prefix_set: set[str]) -> dict[str, list[str]
 
 
 # --------------------------------------------------------------------- local
-_DOCLEN_CACHE: dict[str, np.ndarray] = {}
+# Serving caches (miru serves from an in-memory/mmapped LSM; our analog is
+# caching the pyarrow dataset handles + the dense doc_len array). Keyed by
+# the index generation = mtime of corpus_stats.json, which every
+# merge/refresh rewrites LAST — so a re-merged index invalidates both caches.
+_DATASET_CACHE: dict[tuple, pads.Dataset] = {}
+_DOCLEN_CACHE: dict[tuple, np.ndarray] = {}
+_DOCMETA_CACHE: dict[tuple, pd.DataFrame] = {}
+_POSTING_CACHE: dict[tuple, tuple] = {}  # (dir, gen, term) → postings tuple
+_POSTING_CACHE_MAX = 4096  # hot-term cache (miru's LAB block-cache analog)
+
+
+def _index_generation(index_dir: str) -> float:
+    try:
+        return os.path.getmtime(os.path.join(index_dir, "corpus_stats.json"))
+    except OSError:
+        return -1.0
+
+
+def _dataset(index_dir: str, part: str) -> pads.Dataset:
+    """Cached pyarrow dataset (file discovery is a filesystem walk per call
+    otherwise — measured as the bulk of warm-query latency)."""
+    key = (index_dir, part, _index_generation(index_dir))
+    ds = _DATASET_CACHE.get(key)
+    if ds is None:
+        ds = pads.dataset(os.path.join(index_dir, part))
+        _DATASET_CACHE[key] = ds
+    return ds
 
 
 def _doclens(index_dir: str) -> np.ndarray:
     """Dense docID → doc_len array. Driver-side cache — fine for the serving
     path at partition scale; the distributed path joins instead."""
-    arr = _DOCLEN_CACHE.get(index_dir)
+    key = (index_dir, _index_generation(index_dir))
+    arr = _DOCLEN_CACHE.get(key)
     if arr is None:
-        ds = pads.dataset(os.path.join(index_dir, "doc_meta"))
-        t = ds.to_table(columns=["doc_id", "doc_len"])
+        t = _dataset(index_dir, "doc_meta").to_table(columns=["doc_id", "doc_len"])
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
         lens = np.asarray(t.column("doc_len"), dtype=np.int64)
         arr = np.zeros(int(ids.max()) + 1, dtype=np.int64)
         arr[ids] = lens
-        _DOCLEN_CACHE[index_dir] = arr
+        _DOCLEN_CACHE[key] = arr
     return arr
+
+
+def _docmeta(index_dir: str) -> pd.DataFrame:
+    """Cached gather source (doc_id, repo, path, commit, lang) — the serving
+    analog of miru's in-memory activity index; the distributed path joins the
+    parquet instead (no driver materialization)."""
+    key = (index_dir, _index_generation(index_dir))
+    meta = _DOCMETA_CACHE.get(key)
+    if meta is None:
+        meta = (
+            _dataset(index_dir, "doc_meta")
+            .to_table(columns=["doc_id", "repo", "path", "commit", "lang"])
+            .to_pandas()
+        )
+        _DOCMETA_CACHE[key] = meta
+    return meta
 
 
 def load_postings(
@@ -112,13 +154,23 @@ def load_postings(
     block metadata concatenates monotonically too)."""
     if not terms:
         return {}
-    ds = pads.dataset(os.path.join(index_dir, "merged"))
+    gen = _index_generation(index_dir)
+    out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+    missing = set()
+    for term in terms:
+        hit = _POSTING_CACHE.get((index_dir, gen, term))
+        if hit is not None:
+            out[term] = hit
+        else:
+            missing.add(term)
+    if not missing:
+        return out
+    ds = _dataset(index_dir, "merged")
     t = ds.to_table(
         columns=["term", "shard", "docids", "tfs", "block_last", "block_max_tf"],
-        filter=pads.field("term").isin(sorted(terms)),
+        filter=pads.field("term").isin(sorted(missing)),
     )
     pdf = t.to_pandas().sort_values(["term", "shard"])
-    out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
     for term, grp in pdf.groupby("term", sort=False):
         ds_, tf_, bl_, bm_ = [], [], [], []
         for db, tb, blb, bmb in zip(grp["docids"], grp["tfs"], grp["block_last"], grp["block_max_tf"]):
@@ -128,12 +180,15 @@ def load_postings(
             tf_.append(tf)
             bl_.append(bl)
             bm_.append(bm)
-        out[term] = (
+        entry = (
             np.concatenate(ds_),
             np.concatenate(tf_),
             np.concatenate(bl_),
             np.concatenate(bm_),
         )
+        out[term] = entry
+        if len(_POSTING_CACHE) < _POSTING_CACHE_MAX:
+            _POSTING_CACHE[(index_dir, gen, term)] = entry
     return out
 
 
@@ -141,7 +196,7 @@ def load_filter_bitmap(index_dir: str, field: str, values: list[str]) -> bytes:
     """Roaring OR of the selected values' filter bitmaps (miru's
     getCompositeAuthz pattern, miru-plugin/.../index/MiruAuthzIndex.java:13),
     done container-level in miru_spark.roaring."""
-    ds = pads.dataset(os.path.join(index_dir, "filters"))
+    ds = _dataset(index_dir, "filters")
     t = ds.to_table(filter=(pads.field("field") == field) & (pads.field("value").isin(values)))
     return roaring.or_many([b.as_py() for b in t.column("doc_ids")])
 
@@ -327,9 +382,8 @@ def search_local(
     order = np.lexsort((cand, scores))[::-1][:kk]  # (score desc, docID desc)
     top = pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
     if gather:  # lazy gather of stored fields (miru's Promise gather, FullText.java:204-218)
-        ds = pads.dataset(os.path.join(index_dir, "doc_meta"))
-        meta = ds.to_table(filter=pads.field("doc_id").isin(top["doc_id"].tolist())).to_pandas()
-        top = top.merge(meta[["doc_id", "repo", "path", "commit", "lang"]], on="doc_id", how="left")
+        meta = _docmeta(index_dir)
+        top = top.merge(meta, on="doc_id", how="left")
     return top.reset_index(drop=True)
 
 
@@ -403,7 +457,7 @@ def search_distributed(
     # dictionary → the answer is provably empty, skip the whole job
     required = qp.required_terms(ast)
     if required:
-        ds = pads.dataset(os.path.join(index_dir, "stats"))
+        ds = _dataset(index_dir, "stats")
         present = set(
             ds.to_table(columns=["term"], filter=pads.field("term").isin(sorted(required)))
             .column("term").to_pylist()
