@@ -202,6 +202,10 @@ def merge_segments(spark: SparkSession, index_dir: str, fanin: int | None = None
         merged.repartitionByRange(max(8, n_pids), "term")
         .sortWithinPartitions("term", "shard")
         .write.mode("overwrite")
+        # small row groups → parquet min/max term stats prune at ~few-rows
+        # granularity; without this, a 3-head-term query decompressed every
+        # blob in a 100MB+ row group (measured 72s vs 2s at 10M docs)
+        .option("parquet.block.size", 8 * 1024 * 1024)
         .parquet(os.path.join(index_dir, "merged"))
     )
     merged.unpersist()
