@@ -1,0 +1,45 @@
+"""CLI smoke: build → search (serving + distributed) → compact, in-process.
+The same entrypoints run under ``spark-submit --py-files dist/miru_spark.zip
+tools/submit_job.py`` (verified manually; spark-submit is out of pytest's
+budget)."""
+
+import json
+
+import pytest
+
+from miru_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, tmp_path_factory):
+    # the running session is reused by getOrCreate inside the CLI
+    idx = str(tmp_path_factory.mktemp("cli") / "idx")
+    main([
+        "build", "--synthetic-rows", "250", "--index-dir", idx,
+        "--partitions", "4", "--no-resume",
+    ])
+    return idx
+
+
+def test_cli_search_local(cli_index, capsys):
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out) == 5 and all("doc_id" in r and "score" in r for r in out)
+
+
+def test_cli_search_distributed_matches_local(cli_index, capsys):
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "5"])
+    local = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "5",
+          "--distributed"])
+    dist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["doc_id"] for r in local] == [r["doc_id"] for r in dist]
+
+
+def test_cli_compact(cli_index, capsys):
+    main(["compact", "--index-dir", cli_index, "--target-docs", "1000"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["after_partitions"] <= out["before_partitions"]
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "5"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res) == 5
