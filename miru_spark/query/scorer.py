@@ -166,12 +166,15 @@ def load_postings(
     if not missing:
         return out
     ds = _dataset(index_dir, "merged")
-    t = ds.to_table(
-        columns=["term", "shard", "docids", "tfs", "block_last", "block_max_tf"],
-        filter=pads.field("term").isin(sorted(missing)),
-    )
-    pdf = t.to_pandas().sort_values(["term", "shard"])
-    for term, grp in pdf.groupby("term", sort=False):
+
+    def _load_one(term: str):
+        # per-term scan: row-group stats prune to this term's groups; Arrow
+        # reads + decompression release the GIL, so terms load concurrently
+        t = ds.to_table(
+            columns=["shard", "docids", "tfs", "block_last", "block_max_tf"],
+            filter=pads.field("term") == term,
+        )
+        grp = t.to_pandas().sort_values("shard")
         ds_, tf_, bl_, bm_ = [], [], [], []
         for db, tb, blb, bmb in zip(grp["docids"], grp["tfs"], grp["block_last"], grp["block_max_tf"]):
             d, tf = decode_postings(db, tb)
@@ -180,12 +183,25 @@ def load_postings(
             tf_.append(tf)
             bl_.append(bl)
             bm_.append(bm)
-        entry = (
+        if not ds_:
+            return term, None
+        return term, (
             np.concatenate(ds_),
             np.concatenate(tf_),
             np.concatenate(bl_),
             np.concatenate(bm_),
         )
+
+    if len(missing) == 1:
+        results = [_load_one(next(iter(missing)))]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(missing))) as ex:
+            results = list(ex.map(_load_one, sorted(missing)))
+    for term, entry in results:
+        if entry is None:
+            continue
         out[term] = entry
         if len(_POSTING_CACHE) < _POSTING_CACHE_MAX:
             _POSTING_CACHE[(index_dir, gen, term)] = entry
