@@ -161,10 +161,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> Da
     tractable; the Spark impl is identical JVM-side arithmetic."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
-    h = tok.withColumn("h", _h(F.col("token")))
+    # md5 once per DICTIONARY term (vocab ≪ occurrences), weight by tf:
+    # Σ_occurrences ±1 == Σ_terms tf·(±1); broadcast the tiny hash dictionary
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dic = tok.select("token").distinct().withColumn("h", _h(F.col("token")))
+    h = tf.join(F.broadcast(dic), "token")
     agg = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.col("tf")
+            * F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
