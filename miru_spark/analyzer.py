@@ -26,10 +26,19 @@ from pyspark.sql import functions as F
 SPLIT_PATTERN = "[^a-z0-9_]+"
 _RE = re.compile(SPLIT_PATTERN)
 
+# Unicode parity pin: Python str.lower() FULL-maps U+0130 (İ) to "i" + a
+# combining dot (U+0307), while Arrow utf8_lower / Spark lower / DuckDB
+# lower() simple-map it to "i" — the only lowercase expansion in Unicode
+# SpecialCasing. Without this, a query containing İ tokenizes differently
+# from the index (the Q2 analyzer-parity failure mode, SURVEY.md §1.2).
+_PRE_LOWER = {0x0130: "i"}
+
 
 def tokens_col(content: Column | str) -> Column:
-    """JVM-side tokens array (empties removed, duplicates kept)."""
+    """JVM-side tokens array (empties removed, duplicates kept). Spark's
+    ``lower`` also full-maps U+0130 — pre-translate for cross-path parity."""
     c = F.col(content) if isinstance(content, str) else content
+    c = F.translate(c, "İ", "i")
     return F.filter(F.split(F.lower(c), SPLIT_PATTERN), lambda t: t != F.lit(""))
 
 
@@ -37,7 +46,7 @@ def tokenize_pandas(content: pd.Series) -> pd.Series:
     """pandas path: Series[str] -> Series[list[str]]; identical semantics.
     (Per-row Python — kept for parity tests/oracles; the build hot path uses
     ``tokenize_arrow_flat``.)"""
-    return content.str.lower().str.split(_RE).map(
+    return content.str.translate(_PRE_LOWER).str.lower().str.split(_RE).map(
         lambda toks: [t for t in toks if t] if toks is not None else []
     )
 
@@ -67,7 +76,7 @@ def tokenize_arrow_flat(content: pd.Series):
 
 
 def tokenize_one(text: str) -> list[str]:
-    return [t for t in _RE.split(text.lower()) if t]
+    return [t for t in _RE.split(text.translate(_PRE_LOWER).lower()) if t]
 
 
 def duckdb_tokens_sql(col: str = "content") -> str:

@@ -20,6 +20,9 @@ PIN = [
     ("trailing space ", ["trailing", "space"]),
     ("tab\tand\nnewline", ["tab", "and", "newline"]),
     ("'quoted'", ["quoted"]),
+    # Unicode special-casing: İ (U+0130) must simple-map to "i" in EVERY
+    # implementation (Python/JVM full-map it to i+U+0307 without the pin)
+    ("İstanbul CODE", ["istanbul", "code"]),
 ]
 
 
@@ -59,6 +62,7 @@ def test_arrow_flat_matches_pandas():
     s = pd.Series([
         "Def MERGE, sort(x1) def", "", "  ", "müller naïve HTTPServer",
         "a_b-c.d 2024int64", None, "ümlaut ÜMLAUT", "日本語 text",
+        "İstanbul ǅungla ﬁle STRASSE ß ΣΙΓΜΑ",  # unicode special-casing parity
     ])
     codes, vocab, parents, n = tokenize_arrow_flat(s)
     got = [(int(p), str(vocab[c])) for p, c in zip(parents, codes)]
