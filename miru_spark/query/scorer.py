@@ -222,6 +222,28 @@ def load_filter_set(index_dir: str, field: str, values: list[str]) -> np.ndarray
     return roaring.to_array(load_filter_bitmap(index_dir, field, values))
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique arrays via binary search into the
+    larger — O(|small|·log|big|); np.intersect1d re-sorts the concatenation
+    (measured 2x slower on multi-million-posting conjunctions)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return a
+    pos = np.searchsorted(b, a)
+    pos_c = np.minimum(pos, b.size - 1)
+    return a[(pos < b.size) & (b[pos_c] == a)]
+
+
+def _setdiff_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a \\ b for sorted unique arrays, same binary-search trick."""
+    if a.size == 0 or b.size == 0:
+        return a
+    pos = np.searchsorted(b, a)
+    pos_c = np.minimum(pos, b.size - 1)
+    return a[~((pos < b.size) & (b[pos_c] == a))]
+
+
 def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
     if isinstance(node, qp.Term):
         return postings.get(node.term, (np.empty(0, dtype=np.int64),))[0]
@@ -242,7 +264,7 @@ def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
         for s in sets[1:]:
             if out.size == 0:
                 return out  # abort-if-empty short circuit (MiruAggregateUtil.java:1143)
-            out = np.intersect1d(out, s, assume_unique=True)
+            out = _intersect_sorted(out, s)
         return out
     if isinstance(node, qp.Or):
         out = np.empty(0, dtype=np.int64)
@@ -252,24 +274,40 @@ def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
     if isinstance(node, qp.Not):
         pos = _eval_ast(node.positive, postings, expansions, index_dir)
         neg = _eval_ast(node.negative, postings, expansions, index_dir)
-        return np.setdiff1d(pos, neg, assume_unique=True)
+        return _setdiff_sorted(pos, neg)
     raise TypeError(type(node))
 
 
 def _score_candidates(cand, scoring_terms, postings, doclens, n_docs, avgdl):
+    """Exact BM25 over the candidate vector. Per-term contribution vectors
+    are computed concurrently (numpy releases the GIL), then ACCUMULATED in
+    sorted term order — float sums stay bit-reproducible and rank-identical
+    to the sequential oracle."""
     scores = np.zeros(cand.size, dtype=np.float64)
-    dl = doclens[cand]
-    for term in sorted(scoring_terms):  # fixed accumulation order → reproducible floats
-        if term not in postings:
-            continue
+    dl = doclens[cand].astype(np.float64)
+    terms = [t for t in sorted(scoring_terms) if t in postings]
+
+    def _contrib(term):
         d, tf = postings[term][:2]
         pos = np.searchsorted(d, cand)
         pos_c = np.minimum(pos, d.size - 1)
         mask = (pos < d.size) & (d[pos_c] == cand)
         if not mask.any():
-            continue
+            return None
         idf = bm25_idf(float(d.size), n_docs)
-        scores[mask] += idf * bm25_tf_norm(tf[pos_c[mask]].astype(np.float64), dl[mask].astype(np.float64), avgdl)
+        return mask, idf * bm25_tf_norm(tf[pos_c[mask]].astype(np.float64), dl[mask], avgdl)
+
+    if len(terms) > 2 and cand.size > 100_000:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(terms))) as ex:
+            parts = list(ex.map(_contrib, terms))
+    else:
+        parts = [_contrib(t) for t in terms]
+    for part in parts:  # sorted-term order preserved by map()
+        if part is not None:
+            mask, vals = part
+            scores[mask] += vals
     return scores
 
 
