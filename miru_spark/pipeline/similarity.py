@@ -39,6 +39,16 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _ranked_topk(df: DataFrame, k: int, id_col: str, *order_cols) -> DataFrame:
+    """orderBy+limit (TakeOrderedAndProject — per-partition heaps, no global
+    single-partition WindowExec) then rank the k survivors under a
+    constant-but-non-foldable partition key (``id_col % 1``; a bare lit is
+    optimizer-stripped and still warns). Same pattern as operators/fulltext.py."""
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.partitionBy(F.col(id_col) % 1).orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def cosine_topk_bruteforce(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
@@ -52,12 +62,9 @@ def cosine_topk_bruteforce(
     cos = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "cosine", "rank")
+    scored = joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+    return _ranked_topk(scored, k, "vec_id", F.desc("cosine"), F.asc("vec_id")).select(
+        "vec_id", "label", "cosine", "rank"
     )
 
 
@@ -94,13 +101,11 @@ def ivf_topk(
     cos = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.crossJoin(F.broadcast(q))
-        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "cosine", "rank")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", "label", F.round(cos, 6).alias("cosine")
+    )
+    return _ranked_topk(scored, k, "vec_id", F.desc("cosine"), F.asc("vec_id")).select(
+        "vec_id", "label", "cosine", "rank"
     )
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from miru_spark.analyzer import tokens_col
 from miru_spark.query import parser as qp
@@ -118,10 +117,10 @@ def oracle_topk(
         out = out.filter(F.col("lang").isin(lang_filter))
     if repo_filter:
         out = out.filter(F.col("repo").isin(repo_filter))
-    w = Window.orderBy(F.desc("score"), F.desc("doc_id"))
+    # orderBy+limit → TakeOrderedAndProject (per-partition heaps); no
+    # single-partition WindowExec even in the brute-force oracle
     return (
         out.select("doc_id", "score", "repo", "path", "commit", "lang")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
     )
