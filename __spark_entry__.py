@@ -189,13 +189,22 @@ def oracle_sql() -> dict[str, str]:
     est = " + ".join(
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(dedup.N_MINHASH)
     )
+    # 64-bit simhash: bits 0-47 from md5 hex chars 1-12, bits 48-63 from
+    # chars 13-16; bit 63 contributes -2^63 so the value is the same signed
+    # BIGINT as Spark's long (see dedup.simhash_fingerprints)
     simhash_bits = ", ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+        f"sum(CASE WHEN ({'h_lo' if i < 48 else 'h_hi'} >> {i if i < 48 else i - 48}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
     )
-    simhash_fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))
+    simhash_fp = (
+        " + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0 END)" for i in range(63))
+        + " + (CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)"
+    )
     simhash_cte = f"""
 WITH {_TOK_CTE},
-tokh AS (SELECT doc_id, {_H12.format(x='term')} AS h FROM tok),
+tokh AS (SELECT doc_id, {_H12.format(x='term')} AS h_lo,
+         ('0x' || substr(md5(term), 13, 4))::BIGINT AS h_hi FROM tok),
 bits AS (SELECT doc_id, {simhash_bits} FROM tokh GROUP BY doc_id),
 fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
 """
@@ -391,10 +400,13 @@ FROM documents GROUP BY 1 ORDER BY n DESC, content_hash LIMIT 20
 """,
         "ngram_jaccard_pairs": f"""
 WITH {_SHINGLE_CTE},
-sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {dedup.DF_CAP})),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -417,14 +429,14 @@ ORDER BY id_a, id_b
         "simhash_neardup_pairs": simhash_cte
         + """,
 chunks AS (
-  SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 6)) & 63 AS ckey
-  FROM fp, (SELECT unnest([0, 1, 2]) AS c) c),
+  SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 16)) & 65535 AS ckey
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c) c),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.simhash, b.simhash))::INT AS hamming
   FROM chunks a JOIN chunks b
     ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
 """,
         "cosine_topk": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

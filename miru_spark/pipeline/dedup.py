@@ -70,14 +70,32 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+DF_CAP = 100  # shingles in more docs than this are boilerplate, not signal
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, df_cap: int = DF_CAP
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold, via the shingle
     inverted list: |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
-    No cross product — only docs sharing a shingle ever meet."""
+    No cross product — only docs sharing a shingle ever meet.
+
+    Operator contract: Jaccard is computed over the DISCRIMINATIVE shingle
+    universe — shingles appearing in more than ``df_cap`` docs are dropped
+    (from intersections AND set sizes) before the self-join. Without the cap
+    one boilerplate shingle (license headers) with df=D contributes D² join
+    rows and the self-join goes quadratic; high-df shingles carry no
+    near-dup signal. The dropped set is tiny by construction (few shingles
+    CAN exceed the cap), so it broadcasts."""
     docs = _docs(spark, sf_dir)
-    sh = _shingles(docs).cache()
+    sh_all = _shingles(docs)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -155,38 +173,55 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
-    """SimHash: per doc, bit i of the fingerprint = sign of Σ_tokens
-    (±1 by bit i of the token's portable hash). 16 bits keeps the oracle SQL
-    tractable; the Spark impl is identical JVM-side arithmetic."""
+def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per doc, bit i of the fingerprint = sign of Σ_tokens
+    tf·(±1 by bit i of the token's hash). Bits 0-47 come from the first 12
+    md5 hex chars, bits 48-63 from the next 4 — both portable to DuckDB.
+    Bit 63 enters the fingerprint as −2^63 (two's complement), so the value
+    fits a signed BIGINT identically on both engines. 64 bits is the scale
+    configuration: 16-bit pigeonhole chunks give 65,536 buckets per chunk,
+    keeping the candidate join sparse as N grows (a 16-bit fingerprint's
+    6-bit chunks degenerate toward all-pairs)."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
     # md5 once per DICTIONARY term (vocab ≪ occurrences), weight by tf:
     # Σ_occurrences ±1 == Σ_terms tf·(±1); broadcast the tiny hash dictionary
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dic = tok.select("token").distinct().withColumn("h", _h(F.col("token")))
+    md = F.md5(F.col("token"))
+    dic = tok.select("token").distinct().select(
+        "token",
+        F.conv(F.substring(md, 1, 12), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(md, 13, 4), 16, 10).cast("long").alias("h_hi"),
+    )
     h = tf.join(F.broadcast(dic), "token")
+
+    def _bit(i: int):
+        src = F.col("h_lo") if i < 48 else F.col("h_hi")
+        sh = i if i < 48 else i - 48
+        return F.shiftright(src, sh).bitwiseAND(F.lit(1))
+
     agg = [
-        F.sum(
-            F.col("tf")
-            * F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.col("tf") * F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     per_doc = h.groupBy("doc_id").agg(*agg)
     fp = sum(
-        F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)
-    )
+        F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits - 1)
+    ) + F.when(F.col(f"b{bits-1}") > 0, F.lit(-(2 ** (bits - 1)))).otherwise(F.lit(0))
     return per_doc.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
 
 
-def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2) -> DataFrame:
-    """Hamming-close simhash pairs via pigeonhole bucketing: split the 16-bit
-    fingerprint into (max_hamming+1) chunks; any pair within distance must
-    share a chunk → self-join per chunk, exact popcount verify."""
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Hamming-close 64-bit simhash pairs via pigeonhole bucketing: split the
+    fingerprint into (max_hamming+1)=4 chunks of 16 bits; any pair within
+    distance must share a chunk → self-join per chunk key (65,536 buckets per
+    chunk — sparse at any N), exact popcount verify. The shift+mask chunk
+    extraction is sign-agnostic: masked bits never overlap arithmetic-shift
+    fill bits."""
     fps = simhash_fingerprints(spark, sf_dir).cache()
     n_chunks = max_hamming + 1
-    chunk_bits = 16 // n_chunks if 16 % n_chunks == 0 else 16 // n_chunks + 1
+    chunk_bits = 64 // n_chunks
     chunks = []
     for c in range(n_chunks):
         chunks.append(
