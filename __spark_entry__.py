@@ -25,13 +25,23 @@ _TOK_CTE = f"tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)"
 _TOKARR_CTE = f"tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
 
 # BM25 over documents, parameterized by term list + conjunctive flag
-def _bm25_sql(terms: list[str], conjunctive: bool, k: int = 10, langs: list[str] | None = None) -> str:
+def _bm25_sql(
+    terms: list[str],
+    conjunctive: bool,
+    k: int = 10,
+    langs: list[str] | None = None,
+    cand_where: str | None = None,
+) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     nt_filter = f"WHERE nt = {len(terms)}" if conjunctive else ""
     if langs:  # filter candidates only — df/avgdl/N stay corpus-global
         ll = ", ".join(f"'{x}'" for x in langs)
         extra = f"AND doc_id IN (SELECT doc_id FROM documents WHERE lang IN ({ll}))"
         nt_filter = (nt_filter + " " + extra) if nt_filter else ("WHERE true " + extra)
+    if cand_where:  # removal / time-range masks: candidates only, stats global
+        nt_filter = (
+            (nt_filter + f" AND ({cand_where})") if nt_filter else f"WHERE ({cand_where})"
+        )
     return f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -130,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_or": ft.ft_bm25_or,
         "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
+        "ft_bm25_after_delete": ft.ft_bm25_after_delete,  # F5 removal mask
+        "ft_bm25_time_range": ft.ft_bm25_time_range,  # S4 doc-time mask
         "ft_snippets": ft.ft_snippets,
         "ft_tfidf_miru": ft.ft_tfidf_miru,
         "ft_term_stats": ft.ft_term_stats,
@@ -223,6 +235,12 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
         "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
+        "ft_bm25_after_delete": _bm25_sql(
+            ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 7 <> 0"
+        ),
+        "ft_bm25_time_range": _bm25_sql(
+            ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 100 BETWEEN 0 AND 49"
+        ),
         "ft_snippets": f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

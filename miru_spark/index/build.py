@@ -139,7 +139,7 @@ def assign_doc_ids(
     return keyed.mapInPandas(add_ids, schema=out_schema), offsets
 
 
-def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
+def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict, pa.Table]:
     """Tokenize one partition and build its posting rows.
 
     Entirely Arrow/numpy vectorized (input_hint: no per-row Python): RE2
@@ -207,16 +207,20 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict]:
     # pass: doc_len comes free from the tokenizer's parent indices — a
     # separate JVM-tokenize scan measured ~24s/1M docs and didn't parallelize.
     # local_doc_id + pid → globalized by the merge.
-    meta = pa.table(
-        {
-            "local_doc_id": pa.array(doc_ids, pa.int64()),
-            "repo": pa.array(pdf["repo"], pa.string()),
-            "path": pa.array(pdf["path"], pa.string()),
-            "commit": pa.array(pdf["commit"], pa.string()),
-            "lang": pa.array(pdf["lang"], pa.string()),
-            "doc_len": pa.array(doc_lens, pa.int32()),
-        }
-    )
+    meta_cols = {
+        "local_doc_id": pa.array(doc_ids, pa.int64()),
+        "repo": pa.array(pdf["repo"], pa.string()),
+        "path": pa.array(pdf["path"], pa.string()),
+        "commit": pa.array(pdf["commit"], pa.string()),
+        "lang": pa.array(pdf["lang"], pa.string()),
+        "doc_len": pa.array(doc_lens, pa.int32()),
+    }
+    if "ts" in pdf.columns:
+        # S4 doc-time index: event time rides the forward index (the analog
+        # of miru's MiruTimeIndex doc-order timestamps) — time-range masks
+        # compose with every query at zero extra passes
+        meta_cols["ts"] = pa.array(pdf["ts"].astype("int64"), pa.int64())
+    meta = pa.table(meta_cols)
     return rows, stats, meta
 
 

@@ -215,13 +215,13 @@ def merge_segments(spark: SparkSession, index_dir: str, fanin: int | None = None
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "pid int, _off long"
     )
+    meta_local = spark.read.parquet(os.path.join(index_dir, "doc_meta_local"))
+    meta_cols = ["repo", "path", "commit", "lang", "doc_len"] + (
+        ["ts"] if "ts" in meta_local.columns else []  # S4 doc-time passthrough
+    )
     (
-        spark.read.parquet(os.path.join(index_dir, "doc_meta_local"))
-        .join(F.broadcast(off_df), "pid")
-        .select(
-            (F.col("local_doc_id") + F.col("_off")).alias("doc_id"),
-            "repo", "path", "commit", "lang", "doc_len",
-        )
+        meta_local.join(F.broadcast(off_df), "pid")
+        .select((F.col("local_doc_id") + F.col("_off")).alias("doc_id"), *meta_cols)
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "doc_meta"))
     )

@@ -174,7 +174,8 @@ def _docs_as_corpus(docs: DataFrame) -> DataFrame:
     is (repo, path, commit); using a constant repo and the zero-padded dense
     doc_id as path makes the engine's assigned docID EQUAL the table's doc_id,
     so the engine's (score desc, docID desc) tie order coincides with the
-    oracle's (score desc, doc_id desc)."""
+    oracle's (score desc, doc_id desc). ts = doc_id % 100 gives the S4
+    doc-time index a deterministic, oracle-expressible event time."""
     return docs.select(
         F.lit("corpus").alias("repo"),
         F.format_string("doc/%010d", F.col("doc_id")).alias("path"),
@@ -182,22 +183,83 @@ def _docs_as_corpus(docs: DataFrame) -> DataFrame:
         "lang",
         F.col("text").alias("content"),
         F.sha2(F.col("text"), 256).alias("sha256"),
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("long").alias("ts"),
     )
 
 
 def build_documents_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir per process) a real inverted index over the
-    documents table; returns the index dir."""
+    documents table; returns the index dir. The dir name carries a layout
+    version so stale tmp indexes from older code (no ts column) are never
+    resumed into."""
     idx = _ENGINE_INDEX_CACHE.get(sf_dir)
     if idx and os.path.exists(os.path.join(idx, "corpus_stats.json")):
         return idx
     from miru_spark.index.build import build_index
 
-    idx = os.path.join(tempfile.gettempdir(), "miru_idx_" + sf_dir.strip("/").replace("/", "_"))
+    idx = os.path.join(
+        tempfile.gettempdir(), "miru_idx_v2_" + sf_dir.strip("/").replace("/", "_")
+    )
     corpus = _docs_as_corpus(_docs(spark, sf_dir))
     build_index(spark, corpus, idx, num_partitions=8, resume=True)
     _ENGINE_INDEX_CACHE[sf_dir] = idx
     return idx
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Symlink-clone of the shared documents index with every doc_id % 7 == 0
+    logically REMOVEd (version-guarded removal bitmap; the index data files
+    stay immutable and shared). Exercises the F5 delete path without
+    mutating the index other gate entries read."""
+    from miru_spark.index import removal
+    from miru_spark.query.scorer import IndexHandle
+
+    base = build_documents_index(spark, sf_dir)
+    idx = base + "_del"
+    os.makedirs(idx, exist_ok=True)
+    for name in os.listdir(base):
+        dst = os.path.join(idx, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, name), dst)
+    n_docs = IndexHandle.open(idx).n_docs
+    removal.remove_docs(idx, list(range(0, n_docs, 7)), version=1)
+    return idx
+
+
+def ft_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 `merge AND sort` top-10 AFTER logically deleting doc_id % 7 == 0
+    through the removal path (miru MiruIndexer.java:138-162 REMOVE →
+    MiruBitmapsRoaring.java:457-505 buildIndexMask). Removal masks
+    candidates only — df/avgdl/N stay corpus-global — so the oracle is the
+    same BM25 SQL with deleted ids filtered out of the candidate set."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = _deleted_index(spark, sf_dir)
+    res = search_distributed(spark, idx, "merge AND sort", k=10)
+    scored = res.withColumn("doc_id", F.substring("path", 5, 10).cast("long")).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.desc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def ft_bm25_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 `merge AND sort` top-10 with a doc-time range mask ts ∈ [0, 49]
+    (S4: miru's query+time composition, FullTextCustomQuestion.java:109-111
+    time mask over MiruTimeIndex) through the distributed path."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index(spark, sf_dir)
+    res = search_distributed(spark, idx, "merge AND sort", k=10, time_range=(0, 49))
+    scored = res.withColumn("doc_id", F.substring("path", 5, 10).cast("long")).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.desc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
 
 
 def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

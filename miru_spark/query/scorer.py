@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from miru_spark import roaring
 from miru_spark.codec import decode_block_meta, decode_postings
+from miru_spark.index import removal
 from miru_spark.query import parser as qp
 
 K1 = 1.2
@@ -126,6 +127,25 @@ def _doclens(index_dir: str) -> np.ndarray:
         lens = np.asarray(t.column("doc_len"), dtype=np.int64)
         arr = np.zeros(int(ids.max()) + 1, dtype=np.int64)
         arr[ids] = lens
+        _DOCLEN_CACHE[key] = arr
+    return arr
+
+
+def _docts(index_dir: str) -> np.ndarray:
+    """Dense docID → event-time array (S4 doc-time index, the serving analog
+    of miru's MiruTimeIndex.java:15-56 / LabTimeIndex.java:139-150). Raises
+    if the index was built without a ts column."""
+    key = (index_dir, "ts", _index_generation(index_dir))
+    arr = _DOCLEN_CACHE.get(key)
+    if arr is None:
+        ds = _dataset(index_dir, "doc_meta")
+        if "ts" not in ds.schema.names:
+            raise ValueError("index has no doc-time column (built without ts)")
+        t = ds.to_table(columns=["doc_id", "ts"])
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts"), dtype=np.int64)
+        arr = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+        arr[ids] = ts
         _DOCLEN_CACHE[key] = arr
     return arr
 
@@ -317,7 +337,9 @@ def _tf_upper(tf):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B))
 
 
-def _blockmax_wand_candidates(scoring_terms, postings, k, n_docs, doclens, avgdl, diag=None):
+def _blockmax_wand_candidates(
+    scoring_terms, postings, k, n_docs, doclens, avgdl, diag=None, removed=None
+):
     """Block-max WAND candidate generation for pure disjunctions (vectorized).
 
     Two pruning levels, both sound (every dropped doc provably scores < the
@@ -355,8 +377,15 @@ def _blockmax_wand_candidates(scoring_terms, postings, k, n_docs, doclens, avgdl
     theta = 0.0
     for t in order:
         d0, tf0 = postings[t][:2]
+        if removed is not None and removed.size:
+            # θ must lower-bound the kth best among ELIGIBLE docs: seeding it
+            # from removed docs' scores could prune a valid candidate. idf
+            # still uses the stored df (removal doesn't rewrite statistics —
+            # miru's mask-only semantics).
+            keep_m = ~np.isin(d0, removed, assume_unique=True)
+            d0, tf0 = d0[keep_m], tf0[keep_m]
         if d0.size > k:
-            s = bm25_idf(float(d0.size), n_docs) * bm25_tf_norm(
+            s = bm25_idf(float(postings[t][0].size), n_docs) * bm25_tf_norm(
                 tf0.astype(np.float64), doclens[d0].astype(np.float64), avgdl
             )
             theta = float(np.partition(s, s.size - k)[s.size - k])
@@ -398,11 +427,18 @@ def search_local(
     k: int = 10,
     lang_filter: list[str] | None = None,
     repo_filter: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
     gather: bool = True,
     diag: dict | None = None,
 ) -> pd.DataFrame:
     """Serving path: parse → numpy set algebra → block-max WAND → BM25 top-k
-    → gather. Pass ``diag={}`` to capture pruning statistics."""
+    → gather. Pass ``diag={}`` to capture pruning statistics.
+
+    Masks (ANDNOT/AND into the candidate set, never into the statistics —
+    miru's buildIndexMask / buildTimeRangeMask composition,
+    MiruBitmapsRoaring.java:457-521, FullTextCustomQuestion.java:109-111):
+    removal bitmap always; ``time_range=(lo, hi)`` inclusive doc-time mask
+    when the index carries a ts column."""
     h = IndexHandle.open(index_dir)
     ast = qp.parse_query(query)
     expansions = expand_prefixes(index_dir, qp.prefixes(ast))
@@ -416,14 +452,21 @@ def search_local(
         isinstance(c, qp.Term) for c in getattr(ast, "children", ())
     )
     doclens = _doclens(index_dir)
+    removed = removal.removed_array(index_dir)
     if pure_or and not lang_filter and not repo_filter and len(scoring_terms) > 1:
         cand = _blockmax_wand_candidates(
-            scoring_terms, postings, k, h.n_docs, doclens, h.avgdl, diag=diag
+            scoring_terms, postings, k, h.n_docs, doclens, h.avgdl, diag=diag,
+            removed=removed,
         )
     else:
         cand = _eval_ast(ast, postings, expansions, index_dir)
     if diag is not None:
         diag["scored"] = int(cand.size)
+    if removed.size:
+        cand = _setdiff_sorted(cand, removed)
+    if time_range is not None:
+        ts = _docts(index_dir)
+        cand = cand[(ts[cand] >= time_range[0]) & (ts[cand] <= time_range[1])]
     if lang_filter:  # roaring AND into the candidate set (container-skipping)
         cand = roaring.and_array(load_filter_bitmap(index_dir, "lang", lang_filter), cand)
     if repo_filter:
@@ -486,6 +529,7 @@ def search_distributed(
     k: int = 10,
     lang_filter: list[str] | None = None,
     repo_filter: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Throughput path: one declarative plan over the merged index.
 
@@ -533,6 +577,14 @@ def search_distributed(
 
     hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
 
+    # removal mask: ANDNOT the (small) removed-doc set out of the hits before
+    # the aggregation — broadcast anti-join, statistics stay corpus-global
+    # (miru buildIndexMask semantics, MiruBitmapsRoaring.java:457-505)
+    removed = removal.removed_array(index_dir)
+    if removed.size:
+        rdf = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
+        hits = hits.join(F.broadcast(rdf), "doc_id", "left_anti")
+
     # per-term idf from global stats (tiny — driver lookup, broadcast via literal map)
     stats = (
         spark.read.parquet(os.path.join(index_dir, "stats"))
@@ -544,6 +596,13 @@ def search_distributed(
     )
 
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    if time_range is not None:
+        # doc-time candidate mask (S4): parquet-pushed filter on the forward
+        # index BEFORE the join — out-of-range docs never enter scoring;
+        # df/avgdl/N stay corpus-global (mask-only semantics)
+        if "ts" not in meta.columns:
+            raise ValueError("index has no doc-time column (built without ts)")
+        meta = meta.filter(F.col("ts").between(time_range[0], time_range[1]))
     scored = (
         hits.join(F.broadcast(stats), "term")
         .join(meta.select("doc_id", "doc_len", "repo", "path", "commit", "lang"), "doc_id")

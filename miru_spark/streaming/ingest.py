@@ -18,10 +18,25 @@ write ordering in miru-stream-plugins/.../fulltext/FullTextGatherer.java:
                           queryable index (miru merges delta indexes when
                           chits run out, MiruMergeChits.java:8-15)
 
-Idempotency: Structured Streaming may replay a micro-batch after a crash;
-``_BATCHES`` records batch_id → pid range (atomic write-then-rename), and a
-replayed batch_id is skipped — the same contract as manifests for the batch
-builder (exactly-once appends on top of at-least-once delivery).
+Idempotency: Structured Streaming may replay a micro-batch after a crash.
+``_BATCHES`` records, ATOMICALLY AND BEFORE ANY BUILD WORK, the batch_id →
+pid_base reservation (write-then-rename); the build then runs with
+resume=True. A replay therefore reuses the crashed batch's reserved pids
+and skips per-partition manifests that already completed — the same
+documents can never be indexed twice under fresh pids, closing the crash
+window between segment build and batch record. A batch is ``done`` only
+after its manifests are all durable; the pid high-water mark counts
+reservations as well as manifests, so a later batch never collides with a
+crashed one's pids.
+
+REMOVE/REPAIR activities (miru MiruPartitionedActivity.Type,
+miru-api/.../activity/MiruPartitionedActivity.java:14-16): a batch may
+carry an ``op`` column ('add' | 'remove' | 'repair'). Non-add rows are
+version-guarded removal-log updates (version = batch_id — WAL order), not
+index writes; keys that don't resolve yet (doc appended but not merged)
+are journaled to ``pending_ops.json`` and applied by ``refresh()`` right
+after the merge, mirroring miru's index-then-mask ordering
+(MiruIndexer.java:138-162).
 """
 
 from __future__ import annotations
@@ -34,9 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.corpus import CORPUS_SCHEMA
+from miru_spark.index import removal
 from miru_spark.index.build import build_field_filters, build_segments, key_partition
 
 _BATCHES = "stream_batches.json"
+_PENDING = "pending_ops.json"
 
 
 def _load_batches(index_dir: str) -> dict:
@@ -55,10 +72,12 @@ def _save_batches(index_dir: str, batches: dict) -> None:
     os.replace(tmp, p)
 
 
-def _bases(index_dir: str) -> int:
-    """Next pid from the manifest high-water mark. (docIDs need no base:
-    segments store partition-local ids; the merge assigns global ids from
-    manifest counts in pid order, which IS arrival order here.)"""
+def _bases(index_dir: str, batches: dict | None = None) -> int:
+    """Next pid: the high-water mark over BOTH durable manifests and batch
+    reservations — a crashed batch's reserved pids stay claimed until its
+    replay completes them, so later batches never collide. (docIDs need no
+    base: segments store partition-local ids; the merge assigns global ids
+    from manifest counts in pid order, which IS arrival order here.)"""
     man_dir = os.path.join(index_dir, "manifests")
     pid_base = 0
     if os.path.isdir(man_dir):
@@ -68,26 +87,84 @@ def _bases(index_dir: str) -> int:
             with open(os.path.join(man_dir, name)) as f:
                 m = json.load(f)
             pid_base = max(pid_base, m["pid"] + 1)
+    if batches is None:
+        batches = _load_batches(index_dir)
+    for rec in batches.values():
+        pid_base = max(pid_base, rec.get("pid_base", 0) + rec.get("n_partitions", 0))
     return pid_base
+
+
+def _load_pending(index_dir: str) -> list:
+    p = os.path.join(index_dir, _PENDING)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return []
+
+
+def _save_pending(index_dir: str, ops: list) -> None:
+    p = os.path.join(index_dir, _PENDING)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(ops, f)
+    os.replace(tmp, p)
 
 
 def append_batch(
     batch_df: DataFrame, batch_id: int, index_dir: str, partitions_per_batch: int = 4
 ) -> None:
-    """Index one micro-batch as fresh partitions appended to the index."""
+    """Index one micro-batch: reserve pids durably, build with resume, mark
+    done — idempotent under replay at every crash point. Rows with
+    op='remove'/'repair' are journaled for ``refresh()`` instead of built."""
     batches = _load_batches(index_dir)
-    if str(batch_id) in batches:
+    rec = batches.get(str(batch_id))
+    if rec is not None and rec.get("done"):
         return  # replayed batch — already durable, skip (sip-cursor semantics)
+    if rec is None:
+        rec = {"done": False}
+        batches[str(batch_id)] = rec
+
+    if "op" in batch_df.columns:
+        if not rec.get("ops_recorded"):
+            ops_rows = (
+                batch_df.filter(F.col("op").isin("remove", "repair"))
+                .select("op", "repo", "path", "commit")
+                .collect()
+            )
+            if ops_rows:
+                pending = _load_pending(index_dir)
+                pending.extend(
+                    {
+                        "op": r["op"], "repo": r["repo"], "path": r["path"],
+                        "commit": r["commit"], "version": int(batch_id),
+                    }
+                    for r in ops_rows
+                )
+                _save_pending(index_dir, pending)
+            # a crash before this save re-journals on replay; duplicated
+            # pending entries are no-ops under the removal version guard
+            rec["ops_recorded"] = True
+            _save_batches(index_dir, batches)
+        batch_df = batch_df.filter(F.col("op").isNull() | (F.col("op") == "add")).drop("op")
     if batch_df.isEmpty():
+        rec["done"] = True
+        _save_batches(index_dir, batches)
         return
-    pid_base = _bases(index_dir)
+
+    if "pid_base" not in rec:
+        rec["pid_base"] = _bases(index_dir, batches)
+        rec["n_partitions"] = partitions_per_batch
+        _save_batches(index_dir, batches)  # reservation durable BEFORE building
+    pid_base = rec["pid_base"]
     keyed = key_partition(batch_df, partitions_per_batch)
     shifted = keyed.withColumn("_pid", (F.col("_pid") + F.lit(pid_base)).cast("int"))
-    manifests = build_segments(shifted, index_dir, resume=False).collect()
-    batches[str(batch_id)] = {
-        "pids": sorted(m["pid"] for m in manifests),
-        "n_docs": sum(m["n_docs"] for m in manifests),
-    }
+    # resume=True: a replay skips partitions whose manifests completed
+    manifests = build_segments(shifted, index_dir, resume=True).collect()
+    rec.update(
+        pids=sorted(m["pid"] for m in manifests),
+        n_docs=sum(m["n_docs"] for m in manifests),
+        done=True,
+    )
     _save_batches(index_dir, batches)
 
 
@@ -115,9 +192,29 @@ def ingest_stream(
 
 def refresh(spark: SparkSession, index_dir: str) -> dict:
     """Re-merge all segments into the queryable global index (the delta-merge
-    analog). Call after a drain / periodically on a live stream."""
+    analog), then apply journaled REMOVE/REPAIR ops against the fresh
+    forward index — miru's index-then-mask ordering. Call after a drain /
+    periodically on a live stream."""
     from miru_spark.index.merge import merge_segments
 
     summary = merge_segments(spark, index_dir)  # also globalizes doc_meta
     build_field_filters(spark, index_dir)
+    pending = _load_pending(index_dir)
+    if pending:
+        applied = 0
+        for kind in ("remove", "repair"):  # removes before repairs per version
+            ops = sorted(
+                (o for o in pending if o["op"] == kind), key=lambda o: o["version"]
+            )
+            for o in ops:
+                ids = removal.resolve_keys(
+                    spark, index_dir, [(o["repo"], o["path"], o["commit"])]
+                )
+                if not ids:
+                    continue  # unknown key — no-op, as in miru's WAL replay
+                fn = removal.remove_docs if kind == "remove" else removal.repair_docs
+                applied += fn(index_dir, ids, o["version"])
+        _save_pending(index_dir, [])  # applied (or no-op) — clear the journal
+        summary["removal_ops_applied"] = applied
+    summary["n_removed"] = int(removal.removed_array(index_dir).size)
     return summary
