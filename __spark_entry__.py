@@ -89,6 +89,96 @@ SELECT lang, lang_pred, count(*)::BIGINT AS n FROM best GROUP BY 1, 2 ORDER BY 1
 _H12 = "('0x' || substr(md5({x}), 1, 12))::BIGINT"  # portable 48-bit hash
 
 
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """lsh_bucket_stats oracle. The plane components are md5-of-literal
+    constants — Catalyst folds the identical expressions at plan time on the
+    Spark side, so inlining the same constants here (hashlib == md5) keeps
+    both engines computing from the same numbers; the dot/sign/bucket math
+    is all SQL. 48-bit ints are exact in float64."""
+    import hashlib
+
+    buckets = []
+    for j in range(n_planes):
+        comps = [
+            float(int(hashlib.md5(f"p{j}:{i}".encode()).hexdigest()[:12], 16) - 2**47)
+            for i in range(dim)
+        ]
+        plane = "[" + ", ".join(repr(c) for c in comps) + "]"
+        buckets.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
+            f"THEN {2**j} ELSE 0 END)"
+        )
+    return f"""
+SELECT bucket, count(*)::BIGINT AS n FROM (
+  SELECT ({" + ".join(buckets)})::INT AS bucket FROM embeddings)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _media_oracle_sqls() -> tuple[str, str]:
+    """(media_features_stats, media_frame_sample) oracles. The synthetic
+    media table is data-independent (n=120, id-derived), so the oracle
+    re-derives it: the only Python is the md5 payload digests (hash
+    constants, as in _lsh_oracle_sql); tiling, mean, float32 rounding, norm
+    and aggregation are SQL. Frame sampling reduces to pure arithmetic:
+    videos are i%3==2 with n_frames=i%8+1, sampled every 2nd frame."""
+    import hashlib
+
+    rows = []
+    for i in range(120):
+        seed = hashlib.md5(f"media{i}".encode()).digest()
+        payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append((i, kind, hashlib.md5(payload).hexdigest()))
+    values = ",\n".join(f"({i}, '{k}', '{h}')" for i, k, h in rows)
+    # feature k = float32(mean(h[(3k)%16], h[(3k+1)%16], h[(3k+2)%16]) / 255)
+    feats = []
+    for k in range(16):
+        bs = " + ".join(
+            f"('0x' || substr(hx, {2 * ((3 * k + j) % 16) + 1}, 2))::INT" for j in range(3)
+        )
+        feats.append(f"((({bs}) / 3.0) / 255.0)::FLOAT::DOUBLE")
+    fl = "[" + ", ".join(feats) + "]"
+    features_sql = f"""
+WITH pm(media_id, kind, hx) AS (VALUES {values}),
+nn AS (SELECT kind, sqrt(list_sum(list_transform({fl}, x -> x * x))) AS norm FROM pm)
+SELECT kind, count(*)::BIGINT AS n, round(avg(norm), 6) AS avg_norm
+FROM nn GROUP BY kind ORDER BY kind
+"""
+    frames_sql = """
+WITH m AS (SELECT unnest(range(0, 120)) AS i)
+SELECT i AS media_id, ((i % 8) // 2 + 1)::BIGINT AS n_frames_sampled
+FROM m WHERE i % 3 = 2 ORDER BY media_id
+"""
+    return features_sql, frames_sql
+
+
+def _ivf_oracle_sql() -> str:
+    """ivf_topk oracle: the ENTIRE IVF program in SQL — per-label centroids
+    (mean per position), probe the 3 nearest cells by centroid cosine,
+    exact re-rank inside them. Upgrades ivf_topk from rows-only to a full
+    value-hash gate."""
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (SELECT unnest(range(1, 65))::INT AS i),
+cent AS (
+  SELECT label, list(a ORDER BY i) AS c FROM (
+    SELECT label, i, avg(v[i]) AS a FROM e, pos GROUP BY label, i)
+  GROUP BY label),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT label FROM cent, q
+  ORDER BY {cos.format(a="c", b="qv")} DESC LIMIT 3),
+s AS (
+  SELECT vec_id, e.label, round({cos.format(a="v", b="qv")}, 6) AS cosine
+  FROM e JOIN probe USING (label) CROSS JOIN q WHERE vec_id <> 0)
+SELECT vec_id, label, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM s QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 # shingle CTE shared by ngram/minhash oracles (3-token shingles, distinct)
 _SHINGLE_CTE = f"""
 tokarr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -100,12 +190,16 @@ sh AS (
 
 
 def _media_features_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-kind feature stats from the Arrow-batched extractor."""
+    """Per-kind feature stats from the Arrow-batched extractor. Squares are
+    computed in float64 (explicit cast) so the DuckDB oracle's arithmetic
+    matches bit-for-bit — the float32 rounding happens exactly once, at
+    feature storage, on both sides."""
     from pyspark.sql import functions as F
 
     media = multimodal.synthesize_media(spark, n=120, partitions=4)
     feats = multimodal.extract_features(media)
-    norm = F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x))
+    fd = F.transform("features", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(fd, F.lit(0.0), lambda a, x: a + x * x))
     return (
         feats.select("kind", norm.alias("norm"))
         .groupBy("kind")
@@ -146,17 +240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tfidf_miru": ft.ft_tfidf_miru,
         "ft_term_stats": ft.ft_term_stats,
         "ft_conjunctive_count": ft.ft_conjunctive_count,
+        "ft_xor_count": ft.ft_xor_count,
         "ft_prefix_count": ft.ft_prefix_count,
         # miru plugin analogs (§2.4 A-series, §2.2 F-series, §2.5 J, §2.6 T)
         "distincts_gather": rel.distincts_gather,
         "distinct_count": rel.distinct_count,
         "aggregate_counts": rel.aggregate_counts,
+        "paired_latest": rel.paired_latest,
         "analytics_waveform": rel.analytics_waveform,
         "anomaly_metrics": rel.anomaly_metrics,
         "stumptown_tail": rel.stumptown_tail,
         "trending_peaks": rel.trending_peaks,
         "reco_collaborative": rel.reco_collaborative,
         "filter_boolean": rel.filter_boolean,
+        "filter_xor": rel.filter_xor,
         "time_range_count": rel.time_range_count,
         "topk_time": rel.topk_time,
         "topn_per_group": rel.topn_per_group,
@@ -174,11 +271,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # similarity search
         "cosine_topk": similarity.cosine_topk_bruteforce,
-        "ivf_topk": similarity.ivf_topk,  # approximate — rows-only check
-        "embedding_neardup": similarity.embedding_neardup_pairs,
+        "ivf_topk": similarity.ivf_topk,  # full-SQL IVF oracle (_ivf_oracle_sql)
+        # threshold 0.4: the synthetic embeddings have no true near-dups
+        # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
+        # that yields a NON-EMPTY result — proving the join + math, not a
+        # vacuous 0 == 0
+        "embedding_neardup": lambda spark, sf: similarity.embedding_neardup_pairs(
+            spark, sf, threshold=0.4
+        ),
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
-        # multimodal plumbing (deterministic synthetic media; decode stubbed —
-        # non-SQL-expressible → rows-only check, pinned by tests/test_multimodal.py)
+        # multimodal plumbing (deterministic synthetic media; decode stubbed;
+        # full oracles re-derive the id-based generation in SQL + hash consts)
         "media_features_stats": _media_features_stats,
         "media_frame_sample": _media_frame_sample,
         # text analysis
@@ -284,6 +387,12 @@ WHERE lang IN ('en', 'de')
   AND list_contains({_TOKS}, 'merge') AND list_contains({_TOKS}, 'sort')
 GROUP BY lang ORDER BY lang
 """,
+        "ft_xor_count": f"""
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE ((CASE WHEN list_contains({_TOKS}, 'merge') THEN 1 ELSE 0 END)
+     + (CASE WHEN list_contains({_TOKS}, 'sort') THEN 1 ELSE 0 END)) % 2 = 1
+GROUP BY lang ORDER BY lang
+""",
         "ft_prefix_count": f"""
 SELECT lang, count(*)::BIGINT AS n FROM documents
 WHERE len(list_filter({_TOKS}, t -> t LIKE 'sc%')) > 0
@@ -310,6 +419,14 @@ SELECT c.event_type, c.n, l.event_id AS latest_event_id, o.event_id AS oldest_ev
 FROM c JOIN r l ON l.event_type = c.event_type AND l.rn_l = 1
        JOIN r o ON o.event_type = c.event_type AND o.rn_o = 1
 ORDER BY c.event_type
+""",
+        "paired_latest": """
+SELECT event_type, user_id, event_id AS latest_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts
+FROM events WHERE user_id < 20
+QUALIFY row_number() OVER (
+  PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY 1, 2
 """,
         "analytics_waveform": """
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS n
@@ -356,6 +473,12 @@ GROUP BY partkey ORDER BY score DESC, partkey LIMIT 10
         "filter_boolean": """
 SELECT event_type, count(*)::BIGINT AS n FROM events
 WHERE (event_type IN ('click', 'view') OR value > 90.0) AND NOT (user_id % 10 = 0)
+GROUP BY event_type ORDER BY event_type
+""",
+        "filter_xor": """
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE ((CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+     + (CASE WHEN value > 50.0 THEN 1 ELSE 0 END)) % 2 = 1
 GROUP BY event_type ORDER BY event_type
 """,
         "time_range_count": """
@@ -470,7 +593,7 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95 - 1e-12
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4 - 1e-12
 ORDER BY id_a, id_b
 """,
         "token_counts": f"""
@@ -489,12 +612,14 @@ SELECT doc_id, lang, len(toks)::INT AS n_tokens, round({quality_expr}, 6) AS qua
 FROM t ORDER BY round({quality_expr}, 6) ASC, doc_id ASC LIMIT 20
 """,
         "lang_id": _lang_id_sql(),
+        "lsh_bucket_stats": _lsh_oracle_sql(),
+        "ivf_topk": _ivf_oracle_sql(),
+        "media_features_stats": _media_oracle_sqls()[0],
+        "media_frame_sample": _media_oracle_sqls()[1],
         "doc_fingerprints": f"""
 WITH {_TOKARR_CTE}
 SELECT lang, count(*)::BIGINT AS n_docs,
        count(DISTINCT md5(array_to_string(toks, ' ')))::BIGINT AS n_distinct
 FROM tokarr GROUP BY lang ORDER BY lang
 """,
-        # lsh_bucket_stats / ivf_topk: deterministic but the hyperplane /
-        # centroid math is impractical as one SQL statement → rows-only check.
     }

@@ -153,6 +153,23 @@ def ft_conjunctive_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ft_xor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`merge XOR sort` — docs containing exactly one of the two terms
+    (odd-membership xor, MiruFilterOperation.java:16), counted per lang.
+    The DataFrame-algebra twin of the engine's Xor node (query/parser.py)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    a = F.array_contains(toks, "merge")
+    b = F.array_contains(toks, "sort")
+    xor = (F.when(a, 1).otherwise(0) + F.when(b, 1).otherwise(0)) % 2 == 1
+    return (
+        docs.filter(xor)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
 def ft_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query `sc*` (wildcard expansion, MiruAggregateUtil.java:1154-1167)
     — docs with any matching token, per lang."""

@@ -64,6 +64,22 @@ def aggregate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S10: paired-latest (miru-service/.../stream/MiruIndexPairedLatest.java)
+# — latest activity per COMPOSITE (fieldA value, fieldB value) key; miru
+# maintains a bitmap per pair updated newest-wins, which is exactly a
+# max_by over the composite groupBy (one map-side-combinable pass).
+def paired_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("latest_event_id"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
 # --- A8: Analytics waveform (Analytics.java:57-201) — constraint mask then
 # boundedCardinalities over equal time segments → groupBy(window) counts.
 def analytics_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +185,22 @@ def filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("user_id") % 10 == 0  # pButNotQ: p AND NOT q
     return (
         ev.filter(p & ~q)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def filter_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`xor` filter op (MiruFilterOperation.java:16, marked "currently
+    supported"): events where exactly one of {type is click/view, value>50}
+    holds — odd-membership semantics, same as the query engine's Xor node."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("event_type").isin("click", "view")
+    b = F.col("value") > 50.0
+    xor = (F.when(a, 1).otherwise(0) + F.when(b, 1).otherwise(0)) % 2 == 1
+    return (
+        ev.filter(xor)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")

@@ -52,6 +52,12 @@ def _ast_condition(node, matched_terms_col, expansions):
         return _ast_condition(node.positive, matched_terms_col, expansions) & ~_ast_condition(
             node.negative, matched_terms_col, expansions
         )
+    if isinstance(node, qp.Xor):
+        total = sum(
+            F.when(_ast_condition(c, matched_terms_col, expansions), 1).otherwise(0)
+            for c in node.children
+        )
+        return total % 2 == 1
     raise TypeError(type(node))
 
 

@@ -59,6 +59,14 @@ class Not:
     negative: object
 
 
+@dataclass(frozen=True)
+class Xor:
+    """n-ary xor: docs matching an ODD number of children — miru marks xor
+    "currently supported" (MiruFilterOperation.java:16)."""
+
+    children: tuple = field(default_factory=tuple)
+
+
 Node = object
 
 
@@ -98,18 +106,25 @@ class _Parser:
         return t
 
     def parse_or(self) -> Node:
-        left = self.parse_and()
+        left = self.parse_xor()
         parts = [left]
         while self.peek() is not None and self.peek().upper() == "OR":
             self.next()
-            parts.append(self.parse_and())
+            parts.append(self.parse_xor())
         return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def parse_xor(self) -> Node:
+        parts = [self.parse_and()]
+        while self.peek() is not None and self.peek().upper() == "XOR":
+            self.next()
+            parts.append(self.parse_and())
+        return parts[0] if len(parts) == 1 else Xor(tuple(parts))
 
     def parse_and(self) -> Node:
         parts = [self.parse_unary()]
         while True:
             p = self.peek()
-            if p is None or p == ")" or p.upper() == "OR":
+            if p is None or p == ")" or p.upper() in ("OR", "XOR"):
                 break
             if p.upper() == "AND":
                 self.next()
@@ -181,7 +196,7 @@ def positive_terms(node: Node) -> set[str]:
         return {node.term}
     if isinstance(node, (Prefix, Field)):
         return set()
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
         for c in node.children:
             out |= positive_terms(c)
@@ -196,7 +211,7 @@ def all_terms(node: Node) -> set[str]:
         return {node.term}
     if isinstance(node, (Prefix, Field)):
         return set()
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
         for c in node.children:
             out |= all_terms(c)
@@ -209,7 +224,7 @@ def all_terms(node: Node) -> set[str]:
 def prefixes(node: Node) -> set[str]:
     if isinstance(node, Prefix):
         return {node.prefix}
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
         for c in node.children:
             out |= prefixes(c)
@@ -222,7 +237,7 @@ def prefixes(node: Node) -> set[str]:
 def positive_prefixes(node: Node) -> set[str]:
     if isinstance(node, Prefix):
         return {node.prefix}
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
         for c in node.children:
             out |= positive_prefixes(c)
@@ -247,7 +262,8 @@ def required_terms(node: Node) -> set[str]:
         for c in node.children:
             out |= required_terms(c)
         return out
-    if isinstance(node, Or):
+    if isinstance(node, (Or, Xor)):
+        # xor: a match is in an ODD (>=1) number of children, so at least one
         sets = [required_terms(c) for c in node.children]
         out = sets[0]
         for s in sets[1:]:

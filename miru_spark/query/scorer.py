@@ -295,6 +295,15 @@ def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
         pos = _eval_ast(node.positive, postings, expansions, index_dir)
         neg = _eval_ast(node.negative, postings, expansions, index_dir)
         return _setdiff_sorted(pos, neg)
+    if isinstance(node, qp.Xor):
+        # n-ary xor = docs in an ODD number of children (2-ary: setxor1d);
+        # miru MiruFilterOperation.java:16
+        sets = [_eval_ast(c, postings, expansions, index_dir) for c in node.children]
+        if len(sets) == 2:
+            return np.setxor1d(sets[0], sets[1], assume_unique=True)
+        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.int64)
+        ids, counts = np.unique(allv, return_counts=True)
+        return ids[counts % 2 == 1]
     raise TypeError(type(node))
 
 
@@ -519,6 +528,13 @@ def _ast_to_condition(node, expansions) -> F.Column:
         return _ast_to_condition(node.positive, expansions) & ~_ast_to_condition(
             node.negative, expansions
         )
+    if isinstance(node, qp.Xor):
+        # odd-membership count — xor as modular arithmetic over child matches
+        total = sum(
+            F.when(_ast_to_condition(c, expansions), 1).otherwise(0)
+            for c in node.children
+        )
+        return total % 2 == 1
     raise TypeError(type(node))
 
 

@@ -126,3 +126,14 @@ def test_unknown_field_rejected(tiny_index):
 
     with _pytest.raises(ValueError):
         qp.parse_query("merge AND author:bob")
+
+
+def test_xor_matches_oracle_both_paths(tiny_index, corpus_with_ids, spark):
+    """Xor node (MiruFilterOperation.java:16): odd-membership docs, scored by
+    their matched terms — rank-identical on both paths vs the oracle."""
+    for q in ("merge XOR sort", "merge XOR sort XOR def"):
+        got_l = search_local(tiny_index, q, k=10)
+        exp = oracle_topk(corpus_with_ids, q, k=10).toPandas()
+        _assert_rank_identical(got_l, exp, q)
+        got_d = search_distributed(spark, tiny_index, q, k=10).toPandas()
+        _assert_rank_identical(got_d, exp, q)

@@ -6,10 +6,12 @@ from miru_spark.query.parser import (
     Or,
     Prefix,
     Term,
+    Xor,
     all_terms,
     parse_query,
     positive_terms,
     prefixes,
+    required_terms,
 )
 
 
@@ -61,3 +63,16 @@ def test_term_collectors():
     assert positive_terms(q) == {"a", "b", "c"}
     assert all_terms(q) == {"a", "b", "c", "d"}
     assert prefixes(parse_query("a AND pre*")) == {"pre"}
+
+
+def test_xor():
+    # xor binds tighter than OR, looser than AND (MiruFilterOperation.java:16)
+    assert parse_query("a XOR b") == Xor((Term("a"), Term("b")))
+    assert parse_query("a AND b XOR c") == Xor((And((Term("a"), Term("b"))), Term("c")))
+    assert parse_query("a XOR b OR c") == Or((Xor((Term("a"), Term("b"))), Term("c")))
+    q = parse_query("a XOR b XOR c")
+    assert q == Xor((Term("a"), Term("b"), Term("c")))
+    assert positive_terms(q) == {"a", "b", "c"}
+    assert all_terms(q) == {"a", "b", "c"}
+    # xor guarantees membership in >=1 child -> required = intersection (empty here)
+    assert required_terms(q) == set()
