@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stumptown_tail": rel.stumptown_tail,
         "trending_peaks": rel.trending_peaks,
         "reco_collaborative": rel.reco_collaborative,
+        "catwalk_model": rel.catwalk_model,  # J4 model gather
+        "strut_scores": rel.strut_scores,  # J5 broadcast-model scoring
         "filter_boolean": rel.filter_boolean,
         "filter_xor": rel.filter_xor,
         "time_range_count": rel.time_range_count,
@@ -469,6 +471,39 @@ FROM bought
 WHERE custkey IN (SELECT custkey FROM others)
   AND partkey NOT IN (SELECT partkey FROM mine)
 GROUP BY partkey ORDER BY score DESC, partkey LIMIT 10
+""",
+        "catwalk_model": """
+SELECT event_type,
+       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS num_hi,
+       sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS num_even,
+       count(*)::BIGINT AS denom
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "strut_scores": """
+WITH model AS (
+  SELECT event_type,
+         sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS num_hi,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS num_even,
+         count(*)::BIGINT AS denom
+  FROM events GROUP BY 1),
+nf AS (SELECT count(*)::DOUBLE AS n FROM model),
+uf AS (SELECT DISTINCT user_id, event_type FROM events),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN least(num_hi / denom, 1.0) > 0
+                  THEN least(num_hi / denom, 1.0) ELSE 0 END) / any_value(nf.n) AS t_hi,
+         sum(CASE WHEN least(num_even / denom, 1.0) > 0
+                  THEN least(num_even / denom, 1.0) ELSE 0 END) / any_value(nf.n) AS t_even
+  FROM uf JOIN model USING (event_type) CROSS JOIN nf
+  GROUP BY user_id)
+SELECT user_id, round(t_hi, 6) AS score_hi, round(t_even, 6) AS score_even,
+       round(((CASE WHEN t_hi > 0 THEN t_hi ELSE 0 END)
+            + (CASE WHEN t_even > 0 THEN t_even ELSE 0 END)) / 2.0, 6) AS score
+FROM per_user
+ORDER BY round(((CASE WHEN t_hi > 0 THEN t_hi ELSE 0 END)
+              + (CASE WHEN t_even > 0 THEN t_even ELSE 0 END)) / 2.0, 6) DESC,
+         user_id ASC
+LIMIT 20
 """,
         "filter_boolean": """
 SELECT event_type, count(*)::BIGINT AS n FROM events

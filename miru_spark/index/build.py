@@ -97,6 +97,70 @@ def key_partition(df: DataFrame, num_partitions: int, assume_sorted: bool = Fals
     )
 
 
+def check_assumed_sort(keyed: DataFrame) -> None:
+    """Guard for ``assume_sorted=True``: verify each partition is internally
+    key-sorted AND partition key ranges are strictly ascending/disjoint in
+    pid order. A file source that bin-packs splits (size-sorted, large files
+    split at maxPartitionBytes) does NOT preserve key order in
+    spark_partition_id order -- silently building on it would corrupt every
+    docID and the zero-decode merge. One key-columns-only map pass (the scan
+    is column-pruned to the 3 key columns, no shuffle); fails loudly."""
+    check_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("lo", T.StringType()),
+            T.StructField("hi", T.StringType()),
+            T.StructField("sorted", T.BooleanType()),
+        ]
+    )
+
+    def per_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        # \x01, not \x00: pandas object-dtype concat goes through numpy
+        # fixed-width unicode, which TRUNCATES trailing NULs — the separator
+        # would vanish and break tuple-order equivalence. \x01 survives and
+        # still sorts below every printable key character.
+        sep = chr(1)
+        keys = pdf["repo"] + sep + pdf["path"] + sep + pdf["commit"]
+        is_sorted = bool((keys >= keys.shift()).iloc[1:].all()) if len(keys) > 1 else True
+        yield pd.DataFrame(
+            [
+                {
+                    "pid": int(pdf["_pid"].iloc[0]),
+                    "lo": keys.min(),
+                    "hi": keys.max(),
+                    "sorted": is_sorted,
+                }
+            ]
+        )
+
+    rows = sorted(
+        keyed.select("repo", "path", "commit", "_pid")
+        .mapInPandas(per_part, schema=check_schema)
+        .collect(),
+        key=lambda r: r["pid"],
+    )
+    prev_hi, prev_pid = None, None
+    for r in rows:
+        pid, lo, hi = r["pid"], r["lo"], r["hi"]
+        if not r["sorted"]:
+            raise ValueError(
+                f"assume_sorted violated: partition {pid} is not internally "
+                "key-sorted -- rebuild without assume_sorted"
+            )
+        if prev_hi is not None and lo <= prev_hi:
+            raise ValueError(
+                f"assume_sorted violated: partition {pid} key range starts at "
+                f"{lo!r} which is <= partition {prev_pid} max {prev_hi!r}; "
+                "the input is not globally key-sorted in partition order -- "
+                "rebuild without assume_sorted (or pre-range-partition in-plan)"
+            )
+        prev_hi, prev_pid = hi, pid
+
+
 def assign_doc_ids(
     df: DataFrame, num_partitions: int, persist: bool = True
 ) -> tuple[DataFrame, dict[int, int]]:
@@ -343,6 +407,11 @@ def build_index(
         corpus = corpus.drop("sha256")
 
     keyed = key_partition(corpus, num_partitions, assume_sorted=assume_sorted)
+    if assume_sorted:
+        # one key-columns-only verification pass — the flag elides the range
+        # SHUFFLE, not the scan; a bin-packed file source fails loudly here
+        # instead of silently corrupting docIDs
+        check_assumed_sort(keyed)
     manifests = build_segments(keyed, index_dir, resume=resume).collect()
     summary = merge_segments(spark, index_dir)
     build_field_filters(spark, index_dir)

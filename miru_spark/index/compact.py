@@ -14,8 +14,14 @@ into single segments:
   counts within the group — docIDs keep their partition-local meaning, so
   the global merge is untouched semantically;
 - forward-index rows concatenate with the same local-id rebasing;
-- new manifests replace the group's manifests atomically (write-then-rename,
-  new files before manifest swap — the same durability order as the build).
+- the multi-file group swap is JOURNALED: compacted data is staged under
+  ``_``-prefixed names (invisible to Spark/pyarrow dataset scans), a journal
+  records the intended swap, and only then are retired manifests/files
+  removed and the compacted manifest published. A crash at ANY point leaves
+  either the original state (no journal yet) or a journal whose staged
+  files are complete — ``reconcile`` rolls the swap FORWARD idempotently, so
+  doc counts are never double-counted and later partitions' global docIDs
+  never shift. ``merge_segments`` reconciles before reading manifests.
 
 Global docIDs are unchanged: offsets derive from manifest counts in pid
 order, and compaction preserves both pid order and per-group totals.
@@ -36,6 +42,7 @@ from miru_spark.index.merge import _concat_runs
 
 
 def _load_manifests(index_dir: str) -> list[dict]:
+    reconcile(index_dir)
     man_dir = os.path.join(index_dir, "manifests")
     out = []
     for name in os.listdir(man_dir):
@@ -43,6 +50,49 @@ def _load_manifests(index_dir: str) -> list[dict]:
             with open(os.path.join(man_dir, name)) as f:
                 out.append(json.load(f))
     return sorted(out, key=lambda m: m["pid"])
+
+
+def _finish_swap(index_dir: str, journal: dict) -> None:
+    """Roll a journaled group swap FORWARD (idempotent: every step tolerates
+    having already happened). Order: retire old manifests, retire old data,
+    promote staged data, publish compacted manifest, drop journal."""
+    man_dir = os.path.join(index_dir, "manifests")
+    for pid in journal["retired_pids"]:
+        p = os.path.join(man_dir, f"partition_{pid}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    for f_ in journal["retired_files"]:
+        if os.path.exists(f_):
+            os.remove(f_)
+    for staged, final in journal["promote"]:
+        if os.path.exists(staged):
+            os.replace(staged, final)
+    mpath = os.path.join(man_dir, f"partition_{journal['manifest']['pid']}.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(journal["manifest"], f)
+    os.replace(tmp, mpath)
+    os.remove(journal["_path"])
+
+
+def reconcile(index_dir: str) -> int:
+    """Complete any interrupted compaction swaps (called by merge before
+    reading manifests). A journal's staged files are durable before the
+    journal itself, so forward is always the safe direction. Returns the
+    number of swaps completed."""
+    man_dir = os.path.join(index_dir, "manifests")
+    if not os.path.isdir(man_dir):
+        return 0
+    n = 0
+    for name in os.listdir(man_dir):
+        if name.endswith(".journal"):
+            p = os.path.join(man_dir, name)
+            with open(p) as f:
+                journal = json.load(f)
+            journal["_path"] = p
+            _finish_swap(index_dir, journal)
+            n += 1
+    return n
 
 
 def _write_atomic(table: pa.Table, path: str) -> None:
@@ -92,8 +142,14 @@ def compact(index_dir: str, target_docs: int = 1_000_000) -> dict:
             rows.append({"term": term, "pid": new_pid, **row})
         out = pd.DataFrame(rows)
         new_seg = os.path.join(seg_dir, f"seg_{new_pid}.parquet")
+        new_meta = os.path.join(meta_dir, f"meta_{new_pid}.parquet")
+        # stage under _-prefixed names: invisible to spark/pyarrow dataset
+        # scans, and the live seg_{new_pid} stays the ORIGINAL (manifest-
+        # consistent) bytes until the journaled swap promotes the staged copy
+        staged_seg = os.path.join(seg_dir, f"_compact_seg_{new_pid}.parquet")
+        staged_meta = os.path.join(meta_dir, f"_compact_meta_{new_pid}.parquet")
         schema = pq.read_schema(group[0]["segment_file"])
-        _write_atomic(pa.Table.from_pandas(out[[f.name for f in schema]], schema=schema), new_seg)
+        _write_atomic(pa.Table.from_pandas(out[[f.name for f in schema]], schema=schema), staged_seg)
 
         # --- forward index: concat with rebased local ids
         metas = []
@@ -103,11 +159,10 @@ def compact(index_dir: str, target_docs: int = 1_000_000) -> dict:
             t["pid"] = new_pid
             metas.append(t)
         meta_out = pd.concat(metas, ignore_index=True)
-        new_meta = os.path.join(meta_dir, f"meta_{new_pid}.parquet")
         mschema = pq.read_schema(group[0]["meta_file"])
-        _write_atomic(pa.Table.from_pandas(meta_out[[f.name for f in mschema]], schema=mschema), new_meta)
+        _write_atomic(pa.Table.from_pandas(meta_out[[f.name for f in mschema]], schema=mschema), staged_meta)
 
-        # --- manifests: new one first (atomic), then retire the rest
+        # --- journal the swap (staged data durable first), then roll forward
         manifest = {
             "pid": new_pid,
             "n_docs": int(sum(m["n_docs"] for m in group)),
@@ -120,17 +175,24 @@ def compact(index_dir: str, target_docs: int = 1_000_000) -> dict:
             "meta_file": new_meta,
             "status": "compacted",
         }
-        mpath = os.path.join(man_dir, f"partition_{new_pid}.json")
-        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, mpath)
-        for m in group[1:]:
-            os.remove(os.path.join(man_dir, f"partition_{m['pid']}.json"))
-            if m["segment_file"] != new_seg:
-                os.remove(m["segment_file"])
-            if m["meta_file"] != new_meta:
-                os.remove(m["meta_file"])
+        journal = {
+            "manifest": manifest,
+            "retired_pids": [m["pid"] for m in group[1:]],
+            "retired_files": [
+                f_
+                for m in group[1:]
+                for f_ in (m["segment_file"], m["meta_file"])
+                if f_ not in (new_seg, new_meta)
+            ],
+            "promote": [[staged_seg, new_seg], [staged_meta, new_meta]],
+        }
+        jpath = os.path.join(man_dir, f"compact_{new_pid}.journal")
+        jtmp = jpath + f".tmp-{uuid.uuid4().hex}"
+        with open(jtmp, "w") as f:
+            json.dump(journal, f)
+        os.replace(jtmp, jpath)
+        journal["_path"] = jpath
+        _finish_swap(index_dir, journal)
 
     return {
         "groups": len(groups),

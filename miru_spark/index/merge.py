@@ -52,6 +52,9 @@ def _load_offsets(index_dir: str) -> dict[int, int]:
     """pid → global docID offset, the prefix sum of manifest doc counts in
     pid order (pids are key-ordered ranges, so local rank + offset = global
     key rank — identical to assign_doc_ids at any parallelism)."""
+    from miru_spark.index.compact import reconcile
+
+    reconcile(index_dir)  # complete any interrupted compaction swap first
     man_dir = os.path.join(index_dir, "manifests")
     counts: dict[int, int] = {}
     for name in os.listdir(man_dir):

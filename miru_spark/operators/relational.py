@@ -294,6 +294,69 @@ def bloom_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J4/J5: Catwalk model gather + Strut model scoring
+# (miru-stream-plugins/.../catwalk/CatwalkQuestion.java:74-253 gathers
+# per-feature numerator/denominator counts; strut/Strut.java:74-435 scores
+# candidates against the broadcast model;
+# miru-catwalk-shared/.../StrutModelScore.java:8-13 is {numerators[],
+# denominator}). Features here are event_type values; numerators are two
+# predicate counts (value>50, even user), denominator the feature's total.
+def catwalk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-gather half (J4): per feature, numerator/denominator counts
+    in ONE map-side-combinable pass (CatwalkQuestion's answers[] counts)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("num_hi"),
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("num_even"),
+            F.count("*").alias("denom"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def strut_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """The scoring half (J5): candidates (users) scored against the
+    BROADCAST model. Per Strut.java:200-218, each feature contributes
+    s_i = min(numerator_i/denominator, 1); finalizeScore UNIT_WEIGHTED
+    (Strut.java:367-382) averages positive feature scores over the TOTAL
+    feature count, per numerator; scaleScore (:399-407, scalars=1) repeats
+    UNIT_WEIGHTED across the numerators. Top-k (score desc, user asc).
+    The model is tiny by construction → broadcast join; candidates never
+    shuffle more than (user, feature) pairs."""
+    ev = _t(spark, sf_dir, "events")
+    model = catwalk_model(spark, sf_dir)
+    n_features = model.count()  # driver-side count of a tiny model table
+    user_feats = ev.select("user_id", "event_type").distinct()
+    s_hi = F.least(F.col("num_hi") / F.col("denom"), F.lit(1.0))
+    s_even = F.least(F.col("num_even") / F.col("denom"), F.lit(1.0))
+    per_user = (
+        user_feats.join(F.broadcast(model), "event_type")
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.when(s_hi > 0, s_hi).otherwise(0.0)) / n_features).alias("t_hi"),
+            (F.sum(F.when(s_even > 0, s_even).otherwise(0.0)) / n_features).alias("t_even"),
+        )
+    )
+    score = (
+        F.when(F.col("t_hi") > 0, F.col("t_hi")).otherwise(0.0)
+        + F.when(F.col("t_even") > 0, F.col("t_even")).otherwise(0.0)
+    ) / 2.0
+    return (
+        per_user.select(
+            "user_id",
+            F.round("t_hi", 6).alias("score_hi"),
+            F.round("t_even", 6).alias("score_even"),
+            F.round(score, 6).alias("score"),
+        )
+        # order on the ROUNDED score: float sum order varies per engine, so
+        # unrounded "ties" aren't exact — 6-dp ties break on user_id instead
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
 # --- General relational breadth: TPC-H-style agg + 3-way join with a
 # broadcast dimension (proves the engine isn't fulltext-only).
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,7 +66,12 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_tokens", "n_distinct_terms", "n_subwords")
         .orderBy("lang")
     )
-    return out
+    # the result is one row per lang — materialize it so the tokenized
+    # per_doc cache can be released instead of pinning executor memory for
+    # the rest of the session
+    rows = out.collect()
+    per_doc.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def quality_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:

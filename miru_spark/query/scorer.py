@@ -178,8 +178,10 @@ def load_postings(
     out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
     missing = set()
     for term in terms:
-        hit = _POSTING_CACHE.get((index_dir, gen, term))
+        key = (index_dir, gen, term)
+        hit = _POSTING_CACHE.get(key)
         if hit is not None:
+            _POSTING_CACHE[key] = _POSTING_CACHE.pop(key)  # LRU move-to-end
             out[term] = hit
         else:
             missing.add(term)
@@ -223,8 +225,16 @@ def load_postings(
         if entry is None:
             continue
         out[term] = entry
-        if len(_POSTING_CACHE) < _POSTING_CACHE_MAX:
-            _POSTING_CACHE[(index_dir, gen, term)] = entry
+        if len(_POSTING_CACHE) >= _POSTING_CACHE_MAX:
+            # sweep entries from other index generations first (a refreshed
+            # index must keep earning cache hits), then LRU-evict (dicts
+            # iterate in insertion order; hits re-insert at the tail)
+            stale = [k for k in _POSTING_CACHE if (k[0], k[1]) != (index_dir, gen)]
+            for k in stale[: max(1, len(stale))]:
+                del _POSTING_CACHE[k]
+            while len(_POSTING_CACHE) >= _POSTING_CACHE_MAX:
+                del _POSTING_CACHE[next(iter(_POSTING_CACHE))]
+        _POSTING_CACHE[(index_dir, gen, term)] = entry
     return out
 
 

@@ -56,3 +56,53 @@ def test_compaction_respects_target(spark, streamed_index):
     assert stats["groups"] >= 3
     refresh(spark, idx)
     assert len(search_local(idx, "def", k=10)) == 10
+
+
+def test_crash_mid_compaction_reconciles_forward(spark, streamed_index, monkeypatch):
+    """Journaled swap: a crash right after the journal is written (staged
+    files durable, nothing retired/published yet) leaves the ORIGINAL
+    manifests fully consistent; reconcile() rolls the swap forward and the
+    compacted index answers identically."""
+    import miru_spark.index.compact as comp
+
+    idx = streamed_index
+    before = search_local(idx, "merge OR sort", k=50)
+    man_dir = os.path.join(idx, "manifests")
+    n_manifests_before = len([n for n in os.listdir(man_dir) if n.endswith(".json")])
+
+    monkeypatch.setattr(comp, "_finish_swap", lambda *a, **k: None)  # crash here
+    comp.compact(idx, target_docs=10_000)
+    monkeypatch.undo()
+
+    # crashed state: journal present, all original manifests intact
+    journals = [n for n in os.listdir(man_dir) if n.endswith(".journal")]
+    assert journals
+    assert len([n for n in os.listdir(man_dir) if n.endswith(".json")]) == n_manifests_before
+    # the staged files are _-prefixed → invisible to a merge scan; the index
+    # still answers from the ORIGINAL segments
+    refresh(spark, idx)  # merge reconciles: swap rolled forward
+    assert not [n for n in os.listdir(man_dir) if n.endswith(".journal")]
+    after = search_local(idx, "merge OR sort", k=50)
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    assert before["score"].tolist() == after["score"].tolist()
+
+
+def test_assume_sorted_guard(spark, tmp_path):
+    """assume_sorted on an input whose partition order does NOT follow key
+    order must fail loudly instead of corrupting docIDs (ADVICE item)."""
+    from miru_spark.index.build import build_index, check_assumed_sort, key_partition
+
+    corpus = generate_corpus(spark, n_rows=120, seed=3, partitions=1)
+    # a hash repartition scrambles key ranges across partitions
+    scrambled = corpus.repartition(4)
+    with pytest.raises(ValueError, match="assume_sorted violated"):
+        build_index(
+            spark, scrambled, str(tmp_path / "bad"), num_partitions=4,
+            assume_sorted=True,
+        )
+    # the happy path still works: an in-plan range-partitioned input
+    sorted_in_plan = (
+        corpus.repartitionByRange(4, "repo", "path", "commit")
+        .sortWithinPartitions("repo", "path", "commit")
+    )
+    check_assumed_sort(key_partition(sorted_in_plan, 4, assume_sorted=True))
