@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from miru_spark.analyzer import SPLIT_PATTERN
+from miru_spark.functions.composer import long_to_lex
 from miru_spark.operators import fulltext as ft
 from miru_spark.operators import relational as rel
 from miru_spark.pipeline import dedup, multimodal, similarity, text
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_conjunctive_count": ft.ft_conjunctive_count,
         "ft_xor_count": ft.ft_xor_count,
         "ft_prefix_count": ft.ft_prefix_count,
+        "numeric_lex_range": ft.numeric_lex_range,  # MiruTermComposer analog
         # miru plugin analogs (§2.4 A-series, §2.2 F-series, §2.5 J, §2.6 T)
         "distincts_gather": rel.distincts_gather,
         "distinct_count": rel.distinct_count,
@@ -398,6 +400,17 @@ GROUP BY lang ORDER BY lang
         "ft_prefix_count": f"""
 SELECT lang, count(*)::BIGINT AS n FROM documents
 WHERE len(list_filter({_TOKS}, t -> t LIKE 'sc%')) > 0
+GROUP BY lang ORDER BY lang
+""",
+        "numeric_lex_range": f"""
+WITH enc AS (
+  SELECT lang, n_chars,
+         lower(lpad(to_hex(xor(n_chars::BIGINT,
+               (-9223372036854775807 - 1)::BIGINT)), 16, '0')) AS lex
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM enc
+WHERE lex >= '{long_to_lex(200)}' AND lex <= '{long_to_lex(800)}'
 GROUP BY lang ORDER BY lang
 """,
         "distincts_gather": """

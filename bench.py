@@ -81,6 +81,9 @@ def main() -> None:
         "simhash_neardup_pairs", "cosine_topk", "token_counts", "lang_id",
         "quality_scores", "aggregate_counts", "analytics_waveform",
         "reco_collaborative", "pricing_summary", "shipping_priority",
+        # round-2 operators
+        "ft_bm25_after_delete", "ft_bm25_time_range", "ngram_jaccard_pairs",
+        "strut_scores",
     ]
     qmap = entry.queries()
     for name in headline:

@@ -406,6 +406,13 @@ def build_index(
         # already verified — don't haul 64 B/row through the shuffle + Arrow
         corpus = corpus.drop("sha256")
 
+    # versioned schema (§1.2, MiruSchema.checkAdditive): first build
+    # registers; a rebuild/append with a non-additive schema fails loudly
+    from miru_spark.schema import register_or_check
+
+    os.makedirs(index_dir, exist_ok=True)
+    register_or_check(index_dir, corpus)
+
     keyed = key_partition(corpus, num_partitions, assume_sorted=assume_sorted)
     if assume_sorted:
         # one key-columns-only verification pass — the flag elides the range

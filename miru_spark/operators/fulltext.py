@@ -170,6 +170,31 @@ def ft_xor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def numeric_lex_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-lex term encoding (MiruTermComposer.java:124-137 numeric
+    prefixes, lex-marshalled so byte order == numeric order): n_chars is
+    encoded offset-binary-hex and the range [200, 800] is selected purely by
+    STRING comparison on the encoded term — the dictionary-range-scan form a
+    numeric range query takes in the index. min/max prove order
+    preservation end to end."""
+    from miru_spark.functions.composer import lex_long_col, long_to_lex
+
+    docs = _docs(spark, sf_dir)
+    enc = lex_long_col(F.col("n_chars").cast("long"))
+    lo, hi = long_to_lex(200), long_to_lex(800)
+    return (
+        docs.select("lang", enc.alias("lex"), "n_chars")
+        .filter((F.col("lex") >= lo) & (F.col("lex") <= hi))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def ft_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query `sc*` (wildcard expansion, MiruAggregateUtil.java:1154-1167)
     — docs with any matching token, per lang."""

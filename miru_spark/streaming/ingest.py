@@ -151,6 +151,11 @@ def append_batch(
         _save_batches(index_dir, batches)
         return
 
+    # versioned schema guard: appends must be additive vs the index schema
+    from miru_spark.schema import register_or_check
+
+    register_or_check(index_dir, batch_df)
+
     if "pid_base" not in rec:
         rec["pid_base"] = _bases(index_dir, batches)
         rec["n_partitions"] = partitions_per_batch
