@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_clusters": dedup.dedup_clusters,  # connected components
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # similarity search
@@ -613,6 +614,23 @@ cand AS (
 SELECT id_a, id_b, round(({est}) / 8.0, 6) AS est_jaccard
 FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
 ORDER BY id_a, id_b
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+closure(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT c.id, e.b FROM closure c JOIN edges e ON c.r = e.a),
+comp AS (SELECT id, min(r) AS cluster FROM closure GROUP BY id)
+SELECT cluster, count(*)::BIGINT AS n_members FROM comp
+GROUP BY cluster HAVING count(*) >= 2 ORDER BY cluster
 """,
         "simhash_fingerprints": simhash_cte + "SELECT doc_id, simhash FROM fp ORDER BY doc_id",
         "simhash_neardup_pairs": simhash_cte

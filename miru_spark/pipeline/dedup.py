@@ -173,6 +173,69 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph, via iterative min-label propagation — the step a
+    real dedup pipeline needs after pairwise candidates (keep one doc per
+    component, not per pair).
+
+    Scale shape: each iteration is one join of the (shrinking) label set
+    against the edge list + a min-aggregate — O(diameter) rounds, and
+    near-dup components have tiny diameters (dup clusters are cliques-ish,
+    so 2-4 rounds in practice). The driver loop checks convergence with a
+    count per round (an iterative algorithm needs an action per step; AQE
+    re-plans as the frontier shrinks). No collect of the graph itself.
+
+    Output: (cluster, n_members) for components with >= 2 docs, cluster id
+    = min doc_id of the component (the canonical keeper)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("id_a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("id_b"), F.col("label").alias("nl")),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nl").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("id_a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        # labels only ever DECREASE, so the label sum strictly decreases
+        # until convergence — one aggregate replaces a join-based diff
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+    out = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .select(F.col("label").alias("cluster"), "n_members")
+        .orderBy("cluster")
+    )
+    # materialize before releasing the iteration caches (result is tiny)
+    rows = out.collect()
+    labels.unpersist()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema) if rows else spark.createDataFrame([], out.schema)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash: per doc, bit i of the fingerprint = sign of Σ_tokens
     tf·(±1 by bit i of the token's hash). Bits 0-47 come from the first 12
