@@ -211,6 +211,29 @@ def ft_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENGINE_INDEX_CACHE: dict[str, str] = {}
 
 
+def _finish_engine_topk(spark: SparkSession, res: DataFrame) -> DataFrame:
+    """Execute the engine's top-k plan and rank the ≤k survivors driver-side.
+
+    ``search_distributed`` terminal plans to TakeOrderedAndProject (per-
+    partition heaps, driver merge — PLANS.md). Stacking a projection+window
+    ON TOP of its limit defeats that fusion: the optimizer pushes the
+    projection through the limit and the plan degrades to a full
+    range-sort + exchange of every candidate (observed via explain). So the
+    doc_id decode / rounding / rank happen HERE, on the k rows TOAP already
+    delivered to the driver — the same place its merge ends anyway."""
+    pdf = res.toPandas()
+    schema = "doc_id long, score double, rank int"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    pdf["doc_id"] = pdf["path"].str[4:14].astype("int64")
+    pdf["score"] = pdf["score"].round(6)
+    pdf = pdf.sort_values(
+        ["score", "doc_id"], ascending=False, kind="mergesort"
+    ).reset_index(drop=True)
+    pdf["rank"] = range(1, len(pdf) + 1)
+    return spark.createDataFrame(pdf[["doc_id", "score", "rank"]], schema)
+
+
 def _docs_as_corpus(docs: DataFrame) -> DataFrame:
     """Adapt the documents table to the engine's corpus shape. The key order
     is (repo, path, commit); using a constant repo and the zero-padded dense
@@ -278,13 +301,7 @@ def ft_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _deleted_index(spark, sf_dir)
     res = search_distributed(spark, idx, "merge AND sort", k=10)
-    scored = res.withColumn("doc_id", F.substring("path", 5, 10).cast("long")).select(
-        "doc_id", F.round("score", 6).alias("score")
-    )
-    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.desc("doc_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "score", "rank"
-    )
+    return _finish_engine_topk(spark, res)
 
 
 def ft_bm25_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,13 +312,7 @@ def ft_bm25_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_documents_index(spark, sf_dir)
     res = search_distributed(spark, idx, "merge AND sort", k=10, time_range=(0, 49))
-    scored = res.withColumn("doc_id", F.substring("path", 5, 10).cast("long")).select(
-        "doc_id", F.round("score", 6).alias("score")
-    )
-    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.desc("doc_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "score", "rank"
-    )
+    return _finish_engine_topk(spark, res)
 
 
 def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,14 +324,7 @@ def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_documents_index(spark, sf_dir)
     res = search_distributed(spark, idx, "merge AND sort", k=10)
-    scored = res.withColumn("doc_id", F.substring("path", 5, 10).cast("long")).select(
-        "doc_id", F.round("score", 6).alias("score")
-    )
-    # res is already <= k rows; the constant-partition window just ranks them
-    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(F.desc("score"), F.desc("doc_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "score", "rank"
-    )
+    return _finish_engine_topk(spark, res)
 
 
 def ft_serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
