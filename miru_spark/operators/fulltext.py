@@ -52,13 +52,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_terms(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, doc_len) exploded relation — all JVM-side."""
-    with_tokens = docs.select(
-        "doc_id", F.explode(tokens_col("text")).alias("term")
+    """(doc_id, term, tf, doc_len) exploded relation — all JVM-side.
+
+    ONE tokenize per row (the JVM split costs ~750 core-µs/doc — the hot
+    loop), with doc_len carried through the explode so no second tokenize
+    scan and no tf⋈dl shuffle join: the only shuffle is the (doc_id, term)
+    aggregation, map-side combined."""
+    with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    exploded = with_toks.select(
+        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
     )
-    tf = with_tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = docs.select("doc_id", F.size(tokens_col("text")).alias("doc_len"))
-    return tf.join(dl, "doc_id")
+    return exploded.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
+    )
 
 
 def _bm25_scored(docs: DataFrame, terms: list[str], conjunctive: bool) -> DataFrame:
