@@ -95,6 +95,36 @@ def cmd_search(args) -> None:
     print(json.dumps(out, default=str))
 
 
+def cmd_remove(args) -> None:
+    """Version-guarded logical delete / repair by (repo, path, commit) key
+    (resolved against the merged forward index) or by explicit docIDs."""
+    from miru_spark.index import removal
+
+    fn = removal.repair_docs if args.repair else removal.remove_docs
+    if args.doc_ids:
+        ids = [int(x) for x in args.doc_ids.split(",")]
+    else:
+        spark = _spark(args)
+        keys = [tuple(k.split("@", 2)) for k in args.keys.split(",")]
+        ids = removal.resolve_keys(spark, args.index_dir, keys)
+    applied = fn(args.index_dir, ids, version=args.version)
+    print(json.dumps({"op": "repair" if args.repair else "remove",
+                      "resolved": len(ids), "applied": applied}))
+
+
+def cmd_sync(args) -> None:
+    """One incremental sync pass src → dst (cursor-resumable); --refresh
+    merges the replica so it becomes queryable."""
+    from miru_spark.sync import sync_index
+
+    out = sync_index(args.src, args.dst)
+    if args.refresh:
+        from miru_spark.streaming.ingest import refresh
+
+        out["refresh"] = refresh(_spark(args), args.dst)
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="miru_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -127,9 +157,27 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--local-cores", type=int, default=0)
     s.set_defaults(fn=cmd_search)
 
+    r = sub.add_parser("remove", help="logical delete/repair (version-guarded)")
+    r.add_argument("--index-dir", required=True)
+    r.add_argument("--doc-ids", default="", help="comma-separated docIDs")
+    r.add_argument("--keys", default="", help="comma-separated repo@path@commit keys")
+    r.add_argument("--version", type=int, required=True)
+    r.add_argument("--repair", action="store_true", help="restore instead of remove")
+    r.add_argument("--local-cores", type=int, default=0)
+    r.set_defaults(fn=cmd_remove)
+
+    y = sub.add_parser("sync", help="incremental cross-cluster index sync")
+    y.add_argument("--src", required=True)
+    y.add_argument("--dst", required=True)
+    y.add_argument("--refresh", action="store_true", help="merge the replica after sync")
+    y.add_argument("--local-cores", type=int, default=0)
+    y.set_defaults(fn=cmd_sync)
+
     args = ap.parse_args(argv)
     if args.cmd == "build" and not args.corpus and not args.synthetic_rows:
         ap.error("build needs --corpus or --synthetic-rows")
+    if args.cmd == "remove" and not args.doc_ids and not args.keys:
+        ap.error("remove needs --doc-ids or --keys")
     args.fn(args)
 
 

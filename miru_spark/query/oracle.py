@@ -38,6 +38,9 @@ def _ast_condition(node, matched_terms_col, expansions):
         # evaluated after the meta join (lang/repo columns present); note:
         # a query with ONLY field clauses has no term hits and is engine-only
         return F.col(node.field) == node.value
+    if isinstance(node, qp.Range):
+        # ts:[lo TO hi] — requires a ts column on the corpus relation
+        return F.col(node.field).between(node.lo, node.hi)
     if isinstance(node, qp.And):
         c = F.lit(True)
         for ch in node.children:
@@ -115,9 +118,10 @@ def oracle_topk(
     per_doc = hits.groupBy("doc_id").agg(
         F.collect_set("term").alias("mts"), F.sum("contrib").alias("score")
     )
-    out = per_doc.join(
-        corpus_with_ids.select("doc_id", "repo", "path", "commit", "lang"), "doc_id"
+    meta_cols = ["doc_id", "repo", "path", "commit", "lang"] + (
+        ["ts"] if "ts" in corpus_with_ids.columns else []
     )
+    out = per_doc.join(corpus_with_ids.select(*meta_cols), "doc_id")
     out = out.filter(_ast_condition(ast, F.col("mts"), expansions))
     if lang_filter:
         out = out.filter(F.col("lang").isin(lang_filter))

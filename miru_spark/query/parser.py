@@ -67,14 +67,38 @@ class Xor:
     children: tuple = field(default_factory=tuple)
 
 
+RANGE_FIELDS = ("ts",)
+
+
+@dataclass(frozen=True)
+class Range:
+    """Inclusive numeric range clause `ts:[lo TO hi]` — miru's time-range
+    mask composed INTO the filter tree (FullTextCustomQuestion.java:109-111
+    builds it from query.timeRange and ANDs it with the filter; here it is
+    a first-class node, so it also composes under OR/NOT/XOR). Non-scored."""
+
+    field: str
+    lo: int
+    hi: int
+
+
 Node = object
 
 
 def _tokenize_query(q: str) -> list[str]:
     out: list[str] = []
     cur = ""
+    in_bracket = False  # `ts:[0 TO 17]` stays ONE token despite its spaces
     for ch in q:
-        if ch in "()":
+        if ch == "[" and cur.endswith(":"):
+            in_bracket = True
+            cur += ch
+        elif ch == "]" and in_bracket:
+            in_bracket = False
+            cur += ch
+        elif in_bracket:
+            cur += ch
+        elif ch in "()":
             if cur:
                 out.append(cur)
                 cur = ""
@@ -157,6 +181,13 @@ class _Parser:
             return node
         if ":" in t:
             fld, _, val = t.partition(":")
+            if val.startswith("[") and val.endswith("]"):
+                if fld not in RANGE_FIELDS:
+                    raise ValueError(f"unknown range field {fld!r} (supported: {RANGE_FIELDS})")
+                parts = val[1:-1].split()
+                if len(parts) != 3 or parts[1].upper() != "TO":
+                    raise ValueError(f"malformed range clause {t!r} (want fld:[lo TO hi])")
+                return Range(fld, int(parts[0]), int(parts[2]))
             if fld in FILTER_FIELDS and val:
                 return Field(fld, val)  # value NOT analyzer-tokenized (raw field value)
             raise ValueError(f"unknown filter field {fld!r} (supported: {FILTER_FIELDS})")
@@ -194,7 +225,7 @@ def positive_terms(node: Node) -> set[str]:
     positive filter context, MiruAggregateUtil.java:1149,1204-1220)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Prefix, Field)):
+    if isinstance(node, (Prefix, Field, Range)):
         return set()
     if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
@@ -209,7 +240,7 @@ def positive_terms(node: Node) -> set[str]:
 def all_terms(node: Node) -> set[str]:
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Prefix, Field)):
+    if isinstance(node, (Prefix, Field, Range)):
         return set()
     if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
@@ -247,6 +278,21 @@ def positive_prefixes(node: Node) -> set[str]:
     return set()
 
 
+def ranges(node: Node) -> set[Range]:
+    """All Range clauses anywhere in the tree (used to validate the index
+    carries the field before planning)."""
+    if isinstance(node, Range):
+        return {node}
+    if isinstance(node, (And, Or, Xor)):
+        out: set[Range] = set()
+        for c in node.children:
+            out |= ranges(c)
+        return out
+    if isinstance(node, Not):
+        return ranges(node.positive) | ranges(node.negative)
+    return set()
+
+
 def required_terms(node: Node) -> set[str]:
     """Terms that MUST be present for any doc to match: AND = union of
     children's required sets, OR = intersection, NOT = required(positive).
@@ -255,7 +301,7 @@ def required_terms(node: Node) -> set[str]:
     (MiruAggregateUtil.java:1143, 1175-1177)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Prefix, Field)):
+    if isinstance(node, (Prefix, Field, Range)):
         return set()
     if isinstance(node, And):
         out: set[str] = set()

@@ -280,6 +280,11 @@ def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
     if isinstance(node, qp.Field):
         # field filter clause → its roaring bitmap, decoded as a doc set
         return load_filter_set(index_dir, node.field, [node.value])
+    if isinstance(node, qp.Range):
+        # ts:[lo TO hi] → doc-time mask as a doc set (buildTimeRangeMask,
+        # MiruBitmapsRoaring.java:506-521); composes under AND/OR/NOT/XOR
+        ts = _docts(index_dir)
+        return np.nonzero((ts >= node.lo) & (ts <= node.hi))[0].astype(np.int64)
     if isinstance(node, qp.Prefix):
         sets = [postings[t][0] for t in expansions.get(node.prefix, []) if t in postings]
         if not sets:
@@ -519,6 +524,8 @@ def _ast_to_condition(node, expansions) -> F.Column:
         return F.array_contains("mts", node.term)
     if isinstance(node, qp.Field):
         return F.col(node.field) == node.value  # doc_meta column carried through the agg
+    if isinstance(node, qp.Range):
+        return F.col(node.field).between(node.lo, node.hi)  # ts carried when present
     if isinstance(node, qp.Prefix):
         terms = expansions.get(node.prefix, [])
         if not terms:
@@ -622,16 +629,20 @@ def search_distributed(
     )
 
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    has_ts = "ts" in meta.columns
+    if (time_range is not None or qp.ranges(ast)) and not has_ts:
+        raise ValueError("index has no doc-time column (built without ts)")
     if time_range is not None:
         # doc-time candidate mask (S4): parquet-pushed filter on the forward
         # index BEFORE the join — out-of-range docs never enter scoring;
         # df/avgdl/N stay corpus-global (mask-only semantics)
-        if "ts" not in meta.columns:
-            raise ValueError("index has no doc-time column (built without ts)")
         meta = meta.filter(F.col("ts").between(time_range[0], time_range[1]))
+    meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
+        ["ts"] if has_ts else []  # ts:[..] range clauses evaluate post-agg
+    )
     scored = (
         hits.join(F.broadcast(stats), "term")
-        .join(meta.select("doc_id", "doc_len", "repo", "path", "commit", "lang"), "doc_id")
+        .join(meta.select(*meta_cols), "doc_id")
         .withColumn(
             "contrib",
             F.when(
@@ -642,14 +653,17 @@ def search_distributed(
             ).otherwise(F.lit(0.0)),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    aggs = [
         F.collect_set("term").alias("mts"),
         F.sum("contrib").alias("score"),
         F.first("repo").alias("repo"),
         F.first("path").alias("path"),
         F.first("commit").alias("commit"),
         F.first("lang").alias("lang"),
-    )
+    ]
+    if has_ts:
+        aggs.append(F.first("ts").alias("ts"))
+    agg = scored.groupBy("doc_id").agg(*aggs)
     out = agg.filter(_ast_to_condition(ast, expansions))
     if lang_filter:
         out = out.filter(F.col("lang").isin(lang_filter))

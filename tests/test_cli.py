@@ -43,3 +43,34 @@ def test_cli_compact(cli_index, capsys):
     main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "5"])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(res) == 5
+
+
+def test_cli_remove_and_repair(cli_index, capsys):
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "3"])
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    victim = before[0]["doc_id"]
+    main(["remove", "--index-dir", cli_index, "--doc-ids", str(victim), "--version", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"op": "remove", "resolved": 1, "applied": 1}
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "3"])
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert victim not in [r["doc_id"] for r in after]
+    main(["remove", "--index-dir", cli_index, "--doc-ids", str(victim), "--version", "2",
+          "--repair"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["applied"] == 1
+    main(["search", "--index-dir", cli_index, "--query", "merge AND sort", "--k", "3"])
+    restored = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert victim in [r["doc_id"] for r in restored]
+
+
+def test_cli_sync(cli_index, tmp_path, capsys):
+    dst = str(tmp_path / "replica")
+    main(["sync", "--src", cli_index, "--dst", dst, "--refresh", "--local-cores", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shipped_pids"] and out["refresh"]["n_docs"] > 0
+    main(["search", "--index-dir", cli_index, "--query", "def", "--k", "5"])
+    src_res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["search", "--index-dir", dst, "--query", "def", "--k", "5"])
+    dst_res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["doc_id"] for r in src_res] == [r["doc_id"] for r in dst_res]

@@ -76,3 +76,16 @@ def test_xor():
     assert all_terms(q) == {"a", "b", "c"}
     # xor guarantees membership in >=1 child -> required = intersection (empty here)
     assert required_terms(q) == set()
+
+
+def test_ts_range_clause():
+    from miru_spark.query.parser import Range, ranges
+
+    q = parse_query("merge ts:[0 TO 17]")
+    assert q == And((Term("merge"), Range("ts", 0, 17)))
+    assert ranges(q) == {Range("ts", 0, 17)}
+    assert positive_terms(q) == {"merge"}
+    with pytest.raises(ValueError, match="unknown range field"):
+        parse_query("merge size:[1 TO 2]")
+    with pytest.raises(ValueError, match="malformed range"):
+        parse_query("merge ts:[1 2]")

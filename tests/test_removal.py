@@ -201,3 +201,22 @@ def test_reserved_pids_survive_crash_window(spark, tmp_path):
 
     with open(os.path.join(index_dir, "corpus_stats.json")) as f:
         assert _j.load(f)["n_docs"] == 90
+
+
+def test_ts_range_clause_in_query(del_index, spark):
+    """`ts:[lo TO hi]` as a first-class query clause (Range node) — composes
+    with terms/booleans, rank-identical to the oracle on both paths."""
+    index_dir, with_ids = del_index
+    rowidx = F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+    corpus_ts = with_ids.withColumn("ts", F.pmod(rowidx, F.lit(37)))
+    removed_now = set(removal.removed_array(index_dir).tolist())
+    for q in ("merge ts:[0 TO 17]", "(merge OR sort) AND ts:[5 TO 20]"):
+        exp = oracle_topk(corpus_ts, q, k=10_000).toPandas()
+        exp = exp[~exp["doc_id"].isin(removed_now)].head(8)
+        got_l = search_local(index_dir, q, k=8)
+        assert list(got_l["doc_id"]) == list(exp["doc_id"]), q
+        assert [round(float(s), 6) for s in got_l["score"]] == [
+            round(float(s), 6) for s in exp["score"]
+        ], q
+        got_d = search_distributed(spark, index_dir, q, k=8).toPandas()
+        assert list(got_d["doc_id"]) == list(exp["doc_id"]), q
