@@ -290,7 +290,9 @@ def _deleted_index(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(idx, exist_ok=True)
     for name in os.listdir(base):
         dst = os.path.join(idx, name)
-        if not os.path.exists(dst):
+        if os.path.islink(dst) and not os.path.exists(dst):
+            os.unlink(dst)  # dangling link from a rebuilt base
+        if not os.path.lexists(dst):
             os.symlink(os.path.join(base, name), dst)
     n_docs = IndexHandle.open(idx).n_docs
     removal.remove_docs(idx, list(range(0, n_docs, 7)), version=1)
