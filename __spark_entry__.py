@@ -90,12 +90,12 @@ SELECT lang, lang_pred, count(*)::BIGINT AS n FROM best GROUP BY 1, 2 ORDER BY 1
 _H12 = "('0x' || substr(md5({x}), 1, 12))::BIGINT"  # portable 48-bit hash
 
 
-def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
-    """lsh_bucket_stats oracle. The plane components are md5-of-literal
-    constants — Catalyst folds the identical expressions at plan time on the
-    Spark side, so inlining the same constants here (hashlib == md5) keeps
-    both engines computing from the same numbers; the dot/sign/bucket math
-    is all SQL. 48-bit ints are exact in float64."""
+def _lsh_bucket_expr_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """The LSH bucket id as a SQL expression. The plane components are
+    md5-of-literal constants — Catalyst folds the identical expressions at
+    plan time on the Spark side, so inlining the same constants here
+    (hashlib == md5) keeps both engines computing from the same numbers;
+    the dot/sign/bucket math is all SQL. 48-bit ints are exact in float64."""
     import hashlib
 
     buckets = []
@@ -109,10 +109,40 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
             f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) > 0 "
             f"THEN {2**j} ELSE 0 END)"
         )
+    return "(" + " + ".join(buckets) + ")::INT"
+
+
+def _lsh_oracle_sql(n_planes: int = 8) -> str:
     return f"""
 SELECT bucket, count(*)::BIGINT AS n FROM (
-  SELECT ({" + ".join(buckets)})::INT AS bucket FROM embeddings)
+  SELECT {_lsh_bucket_expr_sql(n_planes)} AS bucket FROM embeddings)
 GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _lsh_ann_oracle_sql(n_planes: int = 8, k: int = 10) -> str:
+    """lsh_ann_topk oracle: bucket the corpus, probe the query's bucket +
+    all hamming-1 neighbors, exact cosine re-rank inside the probed set."""
+    bucket = _lsh_bucket_expr_sql(n_planes)
+    probe_union = "\nUNION ALL\n".join(
+        f"SELECT xor(b, {1 << j}) AS p FROM qb" for j in range(n_planes)
+    )
+    cos = (
+        "list_dot_product(embedding::DOUBLE[], qv) / "
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv)))"
+    )
+    return f"""
+WITH enc AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),
+qb AS (SELECT bucket AS b FROM enc WHERE vec_id = 0),
+probes AS (SELECT b AS p FROM qb UNION ALL {probe_union}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label, round({cos}, 6) AS cosine
+  FROM enc, q
+  WHERE bucket IN (SELECT p FROM probes) AND vec_id <> 0)
+SELECT vec_id, label, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM s QUALIFY rank <= {k} ORDER BY rank
 """
 
 
@@ -285,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, threshold=0.4
         ),
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
+        "lsh_ann_topk": similarity.lsh_ann_topk,  # the bucketed scale path
         # multimodal plumbing (deterministic synthetic media; decode stubbed;
         # full oracles re-derive the id-based generation in SQL + hash consts)
         "media_features_stats": _media_features_stats,
@@ -294,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
         "doc_fingerprints": text.doc_fingerprints,
+        "winnow_fingerprints": text.winnow_fingerprints,  # MOSS rolling hash
     }
 
 
@@ -678,7 +710,25 @@ SELECT doc_id, lang, len(toks)::INT AS n_tokens, round({quality_expr}, 6) AS qua
 FROM t ORDER BY round({quality_expr}, 6) ASC, doc_id ASC LIMIT 20
 """,
         "lang_id": _lang_id_sql(),
+        "winnow_fingerprints": f"""
+WITH tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+hs AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> {_H12.format(x="array_to_string(toks[i:i+2], ' ')")}) AS h
+  FROM tokarr),
+wins AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                                      i -> list_min(h[i:i+3]))) AS fps
+  FROM hs),
+flat AS (SELECT lang, doc_id, unnest(fps) AS fp FROM wins)
+SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs_with_fps,
+       count(*)::BIGINT AS n_fps, count(DISTINCT fp)::BIGINT AS n_distinct_fps
+FROM flat GROUP BY lang ORDER BY lang
+""",
         "lsh_bucket_stats": _lsh_oracle_sql(),
+        "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],

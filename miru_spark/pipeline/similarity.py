@@ -132,14 +132,10 @@ def embedding_neardup_pairs(
     )
 
 
-def lsh_bucket_stats(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFrame:
-    """Random-hyperplane LSH bucketing: sign bits from deterministic
-    pseudo-random planes (plane j component i = centered portable hash of
-    "p{j}:{i}"). Returns bucket histogram — the partitioning a bucketed ANN
-    join would use. Deterministic, so oracle-checkable end to end."""
-    emb = _emb(spark, sf_dir)
-    dim = 64
-    planes = []
+def _lsh_bucket_col(n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (sign bits from deterministic
+    md5-of-literal planes — Catalyst folds the hashes at plan time)."""
+    bits = []
     for j in range(n_planes):
         comps = [
             (
@@ -148,15 +144,46 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> Dat
             )
             for i in range(dim)
         ]
-        planes.append(F.array(*comps))
-    bits = []
-    for j, plane in enumerate(planes):
-        dot = _dot(F.col("embedding"), plane)
+        dot = _dot(F.col("embedding"), F.array(*comps))
         bits.append(F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0)))
-    bucket = sum(bits).cast("int")
+    return sum(bits).cast("int")
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFrame:
+    """Bucket histogram — the partitioning the bucketed ANN join uses.
+    Deterministic, so oracle-checkable end to end."""
+    emb = _emb(spark, sf_dir)
     return (
-        emb.select(bucket.alias("bucket"))
+        emb.select(_lsh_bucket_col(n_planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
+    )
+
+
+def lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the 100-TB scale path for similarity
+    search: vectors are pre-bucketed by hyperplane signs; a query probes
+    its OWN bucket plus every hamming-1 neighbor (multiprobe: flipping the
+    bit whose hyperplane margin the query sits closest to is the classic
+    refinement; probing all 1+n_planes neighbors is its exhaustive form),
+    and only candidates in probed buckets are scored exactly. The scan is
+    pruned to ~ (n_planes+1)/2^n_planes of the corpus instead of O(N) —
+    the bucket column would be a partition key in a real deployment."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(n_planes))
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("bucket", "embedding").first()
+    qb = int(qrow["bucket"])
+    probes = [qb] + [qb ^ (1 << j) for j in range(n_planes)]
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
+    cand = emb.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_vec_id))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", "label", F.round(cos, 6).alias("cosine")
+    )
+    return _ranked_topk(scored, k, "vec_id", F.desc("cosine"), F.asc("vec_id")).select(
+        "vec_id", "label", "cosine", "rank"
     )

@@ -144,3 +144,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_distinct"))
         .orderBy("lang")
     )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 3-token shingle, slide a
+    window of ``w`` hashes, keep each window's minimum. Guarantees any
+    shared run of >= w+2 tokens between two docs shares a fingerprint,
+    while storing ~2/(w+1) of the shingle hashes — the document-
+    fingerprinting density/recall trade a 100-TB dedup pipeline tunes.
+
+    The shingle hashes explode to ROWS and the sliding min runs as a
+    bounded window frame per doc — NOT as nested array transforms: Catalyst
+    collapses stacked projections, so an array-of-window-mins expression
+    re-inlines (and re-md5s) the whole shingle-hash array once PER WINDOW —
+    measured 1000x slower. The row form hashes each shingle exactly once.
+    Output: per-lang docs-with-fingerprints, total and distinct
+    fingerprint counts."""
+    from pyspark.sql.window import Window
+
+    from miru_spark.pipeline.dedup import _h
+
+    docs = _docs(spark, sf_dir)
+    with_toks = docs.select("lang", "doc_id", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    hashed = with_toks.select(
+        "lang",
+        "doc_id",
+        F.transform(
+            F.slice(toks, 1, n_sh),
+            lambda _, i: _h(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
+        ).alias("hs"),
+    )
+    exploded = hashed.select("lang", "doc_id", F.posexplode("hs").alias("pos", "h"))
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    wins = exploded.select(
+        "lang",
+        "doc_id",
+        F.min("h").over(frame).alias("fp"),
+        F.count("h").over(frame).alias("cnt"),  # == w ⇔ a full window starts here
+    ).filter(F.col("cnt") == w)
+    flat = wins.select("lang", "doc_id", "fp").distinct()
+    return (
+        flat.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_with_fps"),
+            F.count("*").alias("n_fps"),
+            F.countDistinct("fp").alias("n_distinct_fps"),
+        )
+        .orderBy("lang")
+    )
