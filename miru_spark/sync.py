@@ -149,10 +149,38 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         _write_atomic_json(progress_path, progress)  # cursor AFTER durable ship
         shipped.append(pid)
 
+    # retire replica partitions the source no longer has (compaction folded
+    # them into a surviving pid): data files first, manifest last — the
+    # reverse of shipping, so a crash leaves a re-retireable extra, never a
+    # manifest pointing at missing bytes. Without this, a compacted source
+    # would leave the replica double-counting the folded docs.
+    src_pids = {
+        json.load(open(os.path.join(man_dir, n)))["pid"]
+        for n in names
+    }
+    retired = []
+    dst_man_dir = os.path.join(dst_dir, "manifests")
+    if os.path.isdir(dst_man_dir):
+        for n in sorted(os.listdir(dst_man_dir)):
+            if not n.endswith(".json"):
+                continue
+            with open(os.path.join(dst_man_dir, n)) as f:
+                dm = json.load(f)
+            if dm["pid"] in src_pids:
+                continue
+            for f_ in (dm["segment_file"], dm["meta_file"]):
+                if os.path.exists(f_):
+                    os.remove(f_)
+            os.remove(os.path.join(dst_man_dir, n))
+            progress.pop(str(dm["pid"]), None)
+            _write_atomic_json(progress_path, progress)
+            retired.append(dm["pid"])
+
     removal_ops = _sync_removal_log(src_dir, dst_dir)
     return {
         "shipped_pids": shipped,
         "skipped_pids": skipped,
+        "retired_pids": retired,
         "removal_ops": removal_ops,
         "schema_synced": schema_synced,
     }

@@ -91,3 +91,26 @@ def test_removal_log_syncs_version_guarded(spark, src_index, tmp_path):
     removal.repair_docs(src_index, [victim], version=6)
     sync_index(src_index, dst)
     assert victim in set(search_local(dst, "merge OR sort", k=50)["doc_id"])
+
+
+def test_sync_after_source_compaction(spark, src_index, tmp_path):
+    """Source compaction folds partitions; the next sync must ship the
+    compacted partition AND retire the replica's stale ones — otherwise the
+    replica double-counts the folded docs and shifts every later docID."""
+    from miru_spark.index.compact import compact
+
+    dst = str(tmp_path / "dst5")
+    sync_index(src_index, dst)
+    refresh(spark, dst)
+    before = search_local(src_index, "merge OR sort", k=40)
+
+    compact(src_index, target_docs=10_000)  # fold everything into one pid
+    refresh(spark, src_index)
+    s = sync_index(src_index, dst)
+    assert s["shipped_pids"] and s["retired_pids"]
+    refresh(spark, dst)
+    a = search_local(src_index, "merge OR sort", k=40)
+    b = search_local(dst, "merge OR sort", k=40)
+    assert before["doc_id"].tolist() == a["doc_id"].tolist()  # compaction no-op
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
