@@ -71,9 +71,21 @@ def synthesize_media(spark: SparkSession, n: int = 100, partitions: int = 4) -> 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+try:  # real decoder if the container ships one (this sandbox does not)
+    from PIL import Image as _PILImage  # pragma: no cover
+except ImportError:
+    _PILImage = None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real impl would be PIL/libjpeg; container has no image libs."""
+    """Image decode. With PIL present the payload decodes for real; in this
+    container (no image libs) the deterministic md5-derived stand-in keeps
+    the Arrow plumbing testable, and fake=False raises honestly."""
     if not fake:
+        if _PILImage is not None:  # pragma: no cover - no PIL in sandbox
+            import io
+
+            return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
         raise NotImplementedError(
             "image decode requires PIL/opencv — not available in this container; "
             "pass fake=True for the deterministic stand-in"
