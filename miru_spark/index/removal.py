@@ -130,6 +130,11 @@ def removed_array(index_dir: str) -> np.ndarray:
     key = (index_dir, gen)
     arr = _REMOVED_CACHE.get(key)
     if arr is None:
+        # sweep this index's stale generations — every remove/repair bumps
+        # the mtime, and a long-lived server would otherwise strand one
+        # array copy per removal round forever
+        for k in [k for k in _REMOVED_CACHE if k[0] == index_dir]:
+            del _REMOVED_CACHE[k]
         bp = os.path.join(index_dir, _BITMAP)
         if os.path.exists(bp):
             with open(bp, "rb") as f:
@@ -145,11 +150,28 @@ def resolve_keys(spark, index_dir: str, keys: list[tuple[str, str, str]]) -> lis
     """(repo, path, commit) → docIDs via the merged forward index. Keys not
     present resolve to nothing (removing an unknown doc is a no-op, as in
     miru: the WAL can carry removes for docs a partition never saw)."""
+    return [d for ids in resolve_keys_map(spark, index_dir, keys).values() for d in ids]
+
+
+def resolve_keys_map(
+    spark, index_dir: str, keys: list[tuple[str, str, str]]
+) -> dict[tuple[str, str, str], list[int]]:
+    """Batch form: key → docIDs, ONE broadcast-join job for any number of
+    keys (a per-key job would make a 10k-op drain run 10k Spark jobs)."""
     from pyspark.sql import functions as F
 
+    if not keys:
+        return {}
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     kdf = spark.createDataFrame(
         [(r, p, c) for r, p, c in keys], "repo string, path string, commit string"
     )
-    rows = meta.join(F.broadcast(kdf), ["repo", "path", "commit"]).select("doc_id").collect()
-    return [r["doc_id"] for r in rows]
+    rows = (
+        meta.join(F.broadcast(kdf), ["repo", "path", "commit"])
+        .select("repo", "path", "commit", "doc_id")
+        .collect()
+    )
+    out: dict[tuple[str, str, str], list[int]] = {}
+    for r in rows:
+        out.setdefault((r["repo"], r["path"], r["commit"]), []).append(r["doc_id"])
+    return out

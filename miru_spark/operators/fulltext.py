@@ -20,27 +20,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from miru_spark.analyzer import tokens_col
+from miru_spark.functions.topk import ranked_topk as _ranked_topk
 from miru_spark.query.scorer import B, K1
 
 QUERY_TERMS = ["merge", "sort"]  # fixed 2-term conjunction for the gate
 QUERY_TERMS_OR = ["vector", "window", "stream"]
-
-
-def _ranked_topk(df: DataFrame, k: int, id_col: str, *order_cols) -> DataFrame:
-    """Top-k + dense 1..k rank WITHOUT a global single-partition window.
-
-    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject (per-partition
-    heaps, driver merge of k rows — the plan that survives 100×); the rank is
-    then a window over ONLY the k surviving rows. The partition key is
-    ``id_col % 1`` — constant 0 but NOT foldable (null-propagating), so the
-    optimizer can't strip it and WindowExec never sees an empty partition
-    spec (a bare ``lit(1)`` IS stripped and still warns/single-partitions)."""
-    top = df.orderBy(*order_cols).limit(k)
-    w = Window.partitionBy(F.col(id_col) % 1).orderBy(*order_cols)
-    return top.withColumn("rank", F.row_number().over(w))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,10 +149,11 @@ def ft_xor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`merge XOR sort` — docs containing exactly one of the two terms
     (odd-membership xor, MiruFilterOperation.java:16), counted per lang.
     The DataFrame-algebra twin of the engine's Xor node (query/parser.py)."""
-    docs = _docs(spark, sf_dir)
-    toks = tokens_col("text")
-    a = F.array_contains(toks, "merge")
-    b = F.array_contains(toks, "sort")
+    # materialize the token array once — two array_contains over tokens_col
+    # would tokenize each row twice (CLAUDE.md tokenize-once rule)
+    docs = _docs(spark, sf_dir).select("lang", tokens_col("text").alias("toks"))
+    a = F.array_contains("toks", "merge")
+    b = F.array_contains("toks", "sort")
     xor = (F.when(a, 1).otherwise(0) + F.when(b, 1).otherwise(0)) % 2 == 1
     return (
         docs.filter(xor)

@@ -326,8 +326,13 @@ def strut_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     The model is tiny by construction → broadcast join; candidates never
     shuffle more than (user, feature) pairs."""
     ev = _t(spark, sf_dir, "events")
-    model = catwalk_model(spark, sf_dir)
-    n_features = model.count()  # driver-side count of a tiny model table
+    # materialize the tiny model ONCE: re-executing its aggregation inside
+    # the join would scan the events fact a second time
+    model_rows = catwalk_model(spark, sf_dir).collect()
+    n_features = len(model_rows)
+    model = spark.createDataFrame(
+        model_rows, "event_type string, num_hi long, num_even long, denom long"
+    )
     user_feats = ev.select("user_id", "event_type").distinct()
     s_hi = F.least(F.col("num_hi") / F.col("denom"), F.lit(1.0))
     s_even = F.least(F.col("num_even") / F.col("denom"), F.lit(1.0))

@@ -13,8 +13,9 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from miru_spark.functions.topk import ranked_topk as _ranked_topk
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,16 +38,6 @@ def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-
-
-def _ranked_topk(df: DataFrame, k: int, id_col: str, *order_cols) -> DataFrame:
-    """orderBy+limit (TakeOrderedAndProject — per-partition heaps, no global
-    single-partition WindowExec) then rank the k survivors under a
-    constant-but-non-foldable partition key (``id_col % 1``; a bare lit is
-    optimizer-stripped and still warns). Same pattern as operators/fulltext.py."""
-    top = df.orderBy(*order_cols).limit(k)
-    w = Window.partitionBy(F.col(id_col) % 1).orderBy(*order_cols)
-    return top.withColumn("rank", F.row_number().over(w))
 
 
 def cosine_topk_bruteforce(

@@ -477,7 +477,17 @@ def search_local(
     )
     doclens = _doclens(index_dir)
     removed = removal.removed_array(index_dir)
-    if pure_or and not lang_filter and not repo_filter and len(scoring_terms) > 1:
+    # WAND θ is seeded from unfiltered single-term scores, so ANY candidate
+    # mask that θ doesn't account for (lang/repo/time) makes pruning unsound
+    # — eligible docs could all score below the unfiltered kth best. Removal
+    # is the one mask θ DOES account for (seeding skips removed docs).
+    if (
+        pure_or
+        and not lang_filter
+        and not repo_filter
+        and time_range is None
+        and len(scoring_terms) > 1
+    ):
         cand = _blockmax_wand_candidates(
             scoring_terms, postings, k, h.n_docs, doclens, h.avgdl, diag=diag,
             removed=removed,

@@ -118,7 +118,13 @@ def append_batch(
     op='remove'/'repair' are journaled for ``refresh()`` instead of built."""
     batches = _load_batches(index_dir)
     rec = batches.get(str(batch_id))
-    if rec is not None and rec.get("done"):
+    if rec is not None and (
+        rec.get("done")
+        # legacy record shape ({"pids": [...], "n_docs": N}, written by the
+        # pre-reservation code only AFTER a durable build) — treat as done,
+        # or a replay would re-index the batch under fresh pids
+        or ("pids" in rec and "done" not in rec)
+    ):
         return  # replayed batch — already durable, skip (sip-cursor semantics)
     if rec is None:
         rec = {"done": False}
@@ -161,10 +167,24 @@ def append_batch(
         rec["n_partitions"] = partitions_per_batch
         _save_batches(index_dir, batches)  # reservation durable BEFORE building
     pid_base = rec["pid_base"]
+    # a replay re-executes key_partition, and repartitionByRange SAMPLES its
+    # boundaries — partition contents are not guaranteed identical across
+    # runs, so per-partition resume (which fingerprints only doc counts)
+    # could mix old and new boundaries. Instead: scrub anything a crashed
+    # attempt left in this batch's RESERVED pid range and rebuild it whole —
+    # idempotence comes from the reservation, not partitioner determinism.
+    man_dir = os.path.join(index_dir, "manifests")
+    for pid in range(pid_base, pid_base + rec["n_partitions"]):
+        for p in (
+            os.path.join(man_dir, f"partition_{pid}.json"),
+            os.path.join(index_dir, "segments", f"seg_{pid}.parquet"),
+            os.path.join(index_dir, "doc_meta_local", f"meta_{pid}.parquet"),
+        ):
+            if os.path.exists(p):
+                os.remove(p)
     keyed = key_partition(batch_df, partitions_per_batch)
     shifted = keyed.withColumn("_pid", (F.col("_pid") + F.lit(pid_base)).cast("int"))
-    # resume=True: a replay skips partitions whose manifests completed
-    manifests = build_segments(shifted, index_dir, resume=True).collect()
+    manifests = build_segments(shifted, index_dir, resume=False).collect()
     rec.update(
         pids=sorted(m["pid"] for m in manifests),
         n_docs=sum(m["n_docs"] for m in manifests),
@@ -206,19 +226,26 @@ def refresh(spark: SparkSession, index_dir: str) -> dict:
     build_field_filters(spark, index_dir)
     pending = _load_pending(index_dir)
     if pending:
+        # resolve ALL keys in ONE broadcast-join job, then apply grouped by
+        # (kind, version) — the per-doc version guard makes application
+        # order-independent, so grouping loses nothing and a 10k-op drain
+        # costs one Spark job + a handful of log writes instead of 10k each
+        keymap = removal.resolve_keys_map(
+            spark, index_dir,
+            sorted({(o["repo"], o["path"], o["commit"]) for o in pending}),
+        )
         applied = 0
-        for kind in ("remove", "repair"):  # removes before repairs per version
-            ops = sorted(
-                (o for o in pending if o["op"] == kind), key=lambda o: o["version"]
-            )
-            for o in ops:
-                ids = removal.resolve_keys(
-                    spark, index_dir, [(o["repo"], o["path"], o["commit"])]
-                )
-                if not ids:
-                    continue  # unknown key — no-op, as in miru's WAL replay
-                fn = removal.remove_docs if kind == "remove" else removal.repair_docs
-                applied += fn(index_dir, ids, o["version"])
+        for kind in ("remove", "repair"):
+            by_version: dict[int, list[int]] = {}
+            for o in pending:
+                if o["op"] != kind:
+                    continue
+                ids = keymap.get((o["repo"], o["path"], o["commit"]), [])
+                if ids:  # unknown key — no-op, as in miru's WAL replay
+                    by_version.setdefault(int(o["version"]), []).extend(ids)
+            fn = removal.remove_docs if kind == "remove" else removal.repair_docs
+            for version in sorted(by_version):
+                applied += fn(index_dir, by_version[version], version)
         _save_pending(index_dir, [])  # applied (or no-op) — clear the journal
         summary["removal_ops_applied"] = applied
     summary["n_removed"] = int(removal.removed_array(index_dir).size)

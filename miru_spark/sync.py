@@ -80,11 +80,12 @@ def _sync_removal_log(src_dir: str, dst_dir: str) -> int:
     dst_path = os.path.join(dst_dir, "removal_log.json")
     dst_log = _load_json(dst_path, {"versions": {}, "removed": []})
     removed = set(dst_log["removed"])
+    src_removed_set = set(src_log["removed"])  # hoisted: O(1) per key below
     changed = 0
     for key, ver in src_log["versions"].items():
         if ver > dst_log["versions"].get(key, -1):
             dst_log["versions"][key] = ver
-            src_removed = int(key) in set(src_log["removed"])
+            src_removed = int(key) in src_removed_set
             if src_removed and int(key) not in removed:
                 removed.add(int(key))
                 changed += 1
@@ -110,6 +111,12 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     schema_synced}. Idempotent; safe to interrupt and re-run."""
     os.makedirs(dst_dir, exist_ok=True)
 
+    # complete any interrupted compaction swap on the SOURCE before reading
+    # its manifests — a torn manifest set would ship (and retire) wrongly
+    from miru_spark.index.compact import reconcile
+
+    reconcile(src_dir)
+
     # schema first (additive guard): refuse divergent replicas loudly
     schema_synced = False
     src_schema = load_schema(src_dir)
@@ -127,11 +134,13 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     progress_path = os.path.join(dst_dir, _PROGRESS)
     progress: dict = _load_json(progress_path, {})
     shipped, skipped = [], []
+    src_pids: set[int] = set()
     names = sorted(n for n in os.listdir(man_dir) if n.endswith(".json"))
     for name in names:
         with open(os.path.join(man_dir, name)) as f:
             m = json.load(f)
         pid = m["pid"]
+        src_pids.add(pid)
         fp = _manifest_fingerprint(m)
         dst_man = os.path.join(dst_dir, "manifests", name)
         if progress.get(str(pid)) == fp and os.path.exists(dst_man):
@@ -154,10 +163,6 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     # reverse of shipping, so a crash leaves a re-retireable extra, never a
     # manifest pointing at missing bytes. Without this, a compacted source
     # would leave the replica double-counting the folded docs.
-    src_pids = {
-        json.load(open(os.path.join(man_dir, n)))["pid"]
-        for n in names
-    }
     retired = []
     dst_man_dir = os.path.join(dst_dir, "manifests")
     if os.path.isdir(dst_man_dir):

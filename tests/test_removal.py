@@ -220,3 +220,27 @@ def test_ts_range_clause_in_query(del_index, spark):
         ], q
         got_d = search_distributed(spark, index_dir, q, k=8).toPandas()
         assert list(got_d["doc_id"]) == list(exp["doc_id"]), q
+
+
+def test_narrow_time_range_disjunction_sound(del_index, spark):
+    """Regression: a pure disjunction + a NARROW time mask must not take the
+    WAND fast path — θ seeds from unfiltered scores, so every in-range doc
+    can sit below it and be pruned. Expected = brute force minus
+    out-of-range minus removed, cut to k."""
+    index_dir, with_ids = del_index
+    rowidx = F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+    out_of_range = {
+        r["doc_id"]
+        for r in with_ids.withColumn("ts", F.pmod(rowidx, F.lit(37)))
+        .filter(~F.col("ts").between(0, 1))
+        .select("doc_id")
+        .collect()
+    }
+    removed_now = set(removal.removed_array(index_dir).tolist())
+    exp_ids, exp_scores = _expected(
+        with_ids, "merge OR sort OR def", out_of_range | removed_now, k=5
+    )
+    assert exp_ids, "fixture must leave at least one in-range match"
+    got = search_local(index_dir, "merge OR sort OR def", k=5, time_range=(0, 1))
+    assert list(got["doc_id"]) == exp_ids
+    assert [round(float(s), 6) for s in got["score"]] == exp_scores
