@@ -245,18 +245,20 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 64) -> Da
     configuration: 16-bit pigeonhole chunks give 65,536 buckets per chunk,
     keeping the candidate join sparse as N grows (a 16-bit fingerprint's
     6-bit chunks degenerate toward all-pairs)."""
+    # md5 per OCCURRENCE, not per dictionary term: a term-dictionary
+    # distinct() is a full vocabulary shuffle and its broadcast is unbounded
+    # at corpus scale, while per-occurrence hashing is pure map work feeding
+    # ONE shuffle of n_docs rows (tokens of a doc sit in one input row, so
+    # the 64-sum groupBy partially aggregates map-side to ~1 row/doc/task).
+    # Measured 3.5x faster than the dictionary+broadcast variant at sf0.1.
     docs = _docs(spark, sf_dir)
-    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
-    # md5 once per DICTIONARY term (vocab ≪ occurrences), weight by tf:
-    # Σ_occurrences ±1 == Σ_terms tf·(±1); broadcast the tiny hash dictionary
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    occ = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
     md = F.md5(F.col("token"))
-    dic = tok.select("token").distinct().select(
-        "token",
+    h = occ.select(
+        "doc_id",
         F.conv(F.substring(md, 1, 12), 16, 10).cast("long").alias("h_lo"),
         F.conv(F.substring(md, 13, 4), 16, 10).cast("long").alias("h_hi"),
     )
-    h = tf.join(F.broadcast(dic), "token")
 
     def _bit(i: int):
         src = F.col("h_lo") if i < 48 else F.col("h_hi")
@@ -264,7 +266,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 64) -> Da
         return F.shiftright(src, sh).bitwiseAND(F.lit(1))
 
     agg = [
-        F.sum(F.col("tf") * F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     per_doc = h.groupBy("doc_id").agg(*agg)
