@@ -15,6 +15,7 @@ float summation order.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 
@@ -53,27 +54,53 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
     )
 
 
+def _tf_col(term: str):
+    """tf of one fixed term = size(filter(toks, x == term)). A separate
+    factory so the lambda closes over ``term``: a 2-arg lambda (x, t=term)
+    would be treated by pyspark as the (element, index) form and ``t``
+    would silently receive the INDEX column."""
+    return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+
 def _bm25_scored(docs: DataFrame, terms: list[str], conjunctive: bool) -> DataFrame:
-    stats = docs.agg(F.count("*"), F.avg(F.size(tokens_col("text")))).first()
-    n_docs, avgdl = stats[0], stats[1]
-    dt = _doc_terms(docs)
-    hits = dt.filter(F.col("term").isin(terms))
-    df_stats = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        hits.join(F.broadcast(df_stats), "term")
-        .withColumn(
-            "idf", F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf") * (F.col("tf") * (K1 + 1.0)) / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / avgdl)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
+    """BM25 over a FIXED small query-term set, shuffle-free.
+
+    One tokenize pass produces a per-doc row (doc_id, doc_len, tf per query
+    term) via ``size(filter(toks, x == t))`` — no explode, no (doc, term)
+    aggregation shuffle. That tiny projection is cached; the global stats
+    (n_docs, avgdl, per-term df) are ONE aggregate over it, and scoring is a
+    per-row expression. The previous explode+groupBy form tokenized the
+    corpus three times (avgdl job, df job, score job) and shuffled every
+    (doc, term) pair."""
+    with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    tf_cols = [_tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    per_doc = with_toks.select(
+        "doc_id", F.size("toks").alias("doc_len"), *tf_cols
+    ).cache()
+    stats = per_doc.agg(
+        F.count("*"),
+        F.avg("doc_len"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")) for i in range(len(terms))],
+    ).first()
+    n_docs, avgdl, dfs = stats[0], stats[1], stats[2:]
+    idfs = [math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+    norm = K1 * (1.0 - B + B * F.col("doc_len") / avgdl)
+    contribs = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.lit(idfs[i]) * (F.col(f"tf_{i}") * (K1 + 1.0)) / (F.col(f"tf_{i}") + norm),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(terms))
+    ]
+    match = (
+        sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(len(terms)))
+        == len(terms)
+        if conjunctive
+        else sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
     )
-    if conjunctive:
-        scored = scored.filter(F.col("nt") == len(terms))
-    return scored.select("doc_id", F.round("score", 6).alias("score"))
+    return per_doc.filter(match).select(
+        "doc_id", F.round(sum(contribs), 6).alias("score")
+    )
 
 
 def ft_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,14 +128,21 @@ def ft_tfidf_miru(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FullText.java:118-127 multiplier, :188-199 accumulation;
     LabFieldIndex.java:474-476 global CF). qcount=1 per distinct query term."""
     docs = _docs(spark, sf_dir)
-    dt = _doc_terms(docs)
-    hits = dt.filter(F.col("term").isin(QUERY_TERMS_OR))
-    cf = hits.groupBy("term").agg(F.sum("tf").alias("cf"))
-    scored = (
-        hits.join(F.broadcast(cf), "term")
-        .withColumn("contrib", F.col("tf") / F.col("cf"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    terms = QUERY_TERMS_OR
+    with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    tf_cols = [_tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    # one tokenize pass; CF = one aggregate over the cached tiny projection
+    # (same shuffle-free shape as _bm25_scored)
+    per_doc = with_toks.select("doc_id", *tf_cols).cache()
+    cfs = per_doc.agg(*[F.sum(f"tf_{i}") for i in range(len(terms))]).first()
+    scored = per_doc.filter(
+        sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+    ).select(
+        "doc_id",
+        F.round(
+            sum(F.col(f"tf_{i}") / F.lit(float(cfs[i])) for i in range(len(terms))),
+            6,
+        ).alias("score"),
     )
     return _ranked_topk(scored, 10, "doc_id", F.desc("score"), F.desc("doc_id")).select(
         "doc_id", "score", "rank"

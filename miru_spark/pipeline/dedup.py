@@ -117,8 +117,21 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): minhash over 3-token shingles with seed-
-    salted portable hashes — min(h(shingle || '#' || seed))."""
-    sh = _shingles(docs)
+    salted portable hashes — min(h(shingle || '#' || seed)).
+
+    Deliberately NOT deduplicating shingles first: ``min`` is duplicate-
+    insensitive, so the signature is identical with or without the
+    ``_shingles`` distinct — and skipping it removes a full (doc_id,
+    shingle) shuffle. A doc's shingles sit in one input row, so the min-agg
+    partially combines map-side to ~1 row/doc/task before shuffling."""
+    with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
+    n = 3
+    sh_expr = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    sh = with_toks.select("doc_id", F.explode(sh_expr).alias("shingle"))
     aggs = [
         F.min(_h(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
         for i in range(n_hashes)
