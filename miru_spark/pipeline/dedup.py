@@ -82,26 +82,40 @@ def ngram_jaccard_pairs(
 
     Operator contract: Jaccard is computed over the DISCRIMINATIVE shingle
     universe — shingles appearing in more than ``df_cap`` docs are dropped
-    (from intersections AND set sizes) before the self-join. Without the cap
-    one boilerplate shingle (license headers) with df=D contributes D² join
-    rows and the self-join goes quadratic; high-df shingles carry no
-    near-dup signal. The dropped set is tiny by construction (few shingles
-    CAN exceed the cap), so it broadcasts."""
+    (from intersections AND set sizes) before pair expansion. Without the
+    cap one boilerplate shingle (license headers) with df=D contributes D²
+    pairs and the expansion goes quadratic; high-df shingles carry no
+    near-dup signal."""
     docs = _docs(spark, sf_dir)
     sh_all = _shingles(docs)
-    hot = (
+    # inverted-list form: ONE shuffle groups occurrences into per-shingle
+    # posting lists; lists over the cap are dropped whole, and the C(df,2)
+    # pair expansion happens JVM-side inside each surviving list (bounded by
+    # cap² per shingle). This replaces the previous two tokenize passes +
+    # driver-collected hot-shingle broadcast + shingle self-join (which
+    # shuffled the exploded relation twice more).
+    lists = (
         sh_all.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= df_cap)
+        .cache()
     )
-    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        lists.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda a, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+        ),
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        lists.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     out = (
