@@ -166,13 +166,13 @@ def ft_conjunctive_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs matching `merge AND sort` with a lang filter, counted per lang —
     filter algebra + bitmap-filter pushdown analog (F3+F6)."""
     docs = _docs(spark, sf_dir)
-    toks = tokens_col("text")
+    # lang predicate FIRST (pushes to the parquet scan, so only en/de rows
+    # tokenize at all), then the token array materialized once per row —
+    # two array_contains over the raw tokens_col expression tokenize twice
     return (
-        docs.filter(
-            F.array_contains(toks, "merge")
-            & F.array_contains(toks, "sort")
-            & F.col("lang").isin("en", "de")
-        )
+        docs.filter(F.col("lang").isin("en", "de"))
+        .select("lang", tokens_col("text").alias("toks"))
+        .filter(F.array_contains("toks", "merge") & F.array_contains("toks", "sort"))
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
         .orderBy("lang")
