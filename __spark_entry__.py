@@ -146,6 +146,30 @@ FROM s QUALIFY rank <= {k} ORDER BY rank
 """
 
 
+def _lsh_neardup_oracle_sql(n_planes: int = 8, threshold: float = 0.4) -> str:
+    """embedding_neardup_lsh oracle: bucket every vector, expand the probe
+    side to own bucket + hamming-1 neighbors, equi-join probes against
+    build-side buckets, exact cosine filter. Each ordered pair matches at
+    most once (probe values are distinct), so no DISTINCT is needed."""
+    bucket = _lsh_bucket_expr_sql(n_planes)
+    probe_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, xor(bucket, {1 << j}) AS probe FROM enc"
+        for j in range(n_planes)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH enc AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings),
+ap AS (SELECT vec_id, v, bucket AS probe FROM enc UNION ALL {probe_union})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM ap a JOIN enc b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold} - 1e-12
+ORDER BY id_a, id_b
+"""
+
+
 def _media_oracle_sqls() -> tuple[str, str]:
     """(media_features_stats, media_frame_sample) oracles. The synthetic
     media table is data-independent (n=120, id-derived), so the oracle
@@ -316,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
         "lsh_ann_topk": similarity.lsh_ann_topk,  # the bucketed scale path
+        # near-dup with the LSH bucket as the blocking key (multiprobe) —
+        # the label-free form that holds at corpus scale
+        "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         # multimodal plumbing (deterministic synthetic media; decode stubbed;
         # full oracles re-derive the id-based generation in SQL + hash consts)
         "media_features_stats": _media_features_stats,
@@ -729,6 +756,7 @@ FROM flat GROUP BY lang ORDER BY lang
 """,
         "lsh_bucket_stats": _lsh_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],

@@ -123,6 +123,43 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, n_planes: int = 8
+) -> DataFrame:
+    """Near-dup pairs blocked by LSH bucket with hamming-1 multiprobe — the
+    100-TB form of ``embedding_neardup_pairs`` (label blocking presumes a
+    label; bucket keys are data-independent and uniformly distributed, so
+    the self-join never skews). The probe side expands each vector to its
+    own bucket plus the ``n_planes`` single-bit-flip neighbors; the build
+    side stays one row per vector, so every surviving comparison shares a
+    bucket within hamming distance 1 and each ordered pair matches exactly
+    once (probe values are distinct). Pairs disagreeing on >1 plane are
+    missed — the standard LSH recall trade, tuned by n_planes/probe radius."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _lsh_bucket_col(n_planes).alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.explode(probes).alias("bucket"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), "bucket", F.col("embedding").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _lsh_bucket_col(n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (sign bits from deterministic
     md5-of-literal planes — Catalyst folds the hashes at plan time)."""
