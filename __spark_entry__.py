@@ -165,7 +165,7 @@ WITH enc AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM em
 ap AS (SELECT vec_id, v, bucket AS probe FROM enc UNION ALL {probe_union})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
 FROM ap a JOIN enc b ON a.probe = b.bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= {threshold} - 1e-12
+WHERE round({cos}, 6) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -659,7 +659,7 @@ inter AS (
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.5 - 1e-12
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
 ORDER BY id_a, id_b
 """,
         "minhash_lsh_pairs": f"""
@@ -718,7 +718,7 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4 - 1e-12
+WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 ORDER BY id_a, id_b
 """,
         "token_counts": f"""

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.analyzer import tokens_col
+from miru_spark.functions.cache import scoped_cache
 from miru_spark.functions.topk import ranked_topk as _ranked_topk
+
+
+def _scoped_cache(df: DataFrame) -> DataFrame:
+    return scoped_cache(df, "fulltext_per_doc")
 from miru_spark.query.scorer import B, K1
 
 QUERY_TERMS = ["merge", "sort"]  # fixed 2-term conjunction for the gate
@@ -74,9 +79,9 @@ def _bm25_scored(docs: DataFrame, terms: list[str], conjunctive: bool) -> DataFr
     (doc, term) pair."""
     with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
     tf_cols = [_tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
-    per_doc = with_toks.select(
-        "doc_id", F.size("toks").alias("doc_len"), *tf_cols
-    ).cache()
+    per_doc = _scoped_cache(
+        with_toks.select("doc_id", F.size("toks").alias("doc_len"), *tf_cols)
+    )
     stats = per_doc.agg(
         F.count("*"),
         F.avg("doc_len"),
@@ -133,15 +138,20 @@ def ft_tfidf_miru(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_cols = [_tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
     # one tokenize pass; CF = one aggregate over the cached tiny projection
     # (same shuffle-free shape as _bm25_scored)
-    per_doc = with_toks.select("doc_id", *tf_cols).cache()
+    per_doc = _scoped_cache(with_toks.select("doc_id", *tf_cols))
     cfs = per_doc.agg(*[F.sum(f"tf_{i}") for i in range(len(terms))]).first()
+    # a term absent from the corpus has cf=0 and tf=0 everywhere: it
+    # contributes nothing, and under ANSI mode its tf/0 would THROW — so
+    # present terms only (the oracle's hits CTE likewise never sees it)
+    present = [i for i in range(len(terms)) if cfs[i]]
+    if not present:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
     scored = per_doc.filter(
-        sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+        sum(F.col(f"tf_{i}") for i in present) > 0
     ).select(
         "doc_id",
         F.round(
-            sum(F.col(f"tf_{i}") / F.lit(float(cfs[i])) for i in range(len(terms))),
-            6,
+            sum(F.col(f"tf_{i}") / F.lit(float(cfs[i])) for i in present), 6
         ).alias("score"),
     )
     return _ranked_topk(scored, 10, "doc_id", F.desc("score"), F.desc("doc_id")).select(

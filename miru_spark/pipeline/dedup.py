@@ -19,10 +19,11 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.analyzer import tokens_col
+from miru_spark.functions.cache import scoped_cache
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -59,14 +60,20 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     over the token array (no UDF). Tokens are materialized once per row —
     the shingle expression references them 3x."""
     with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    return (
+        with_toks.select("doc_id", F.explode(_shingle_expr(n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingle_expr(n: int = 3) -> Column:
+    """Array of n-token shingles over a materialized ``toks`` column. ONE
+    definition shared by `_shingles` and `minhash_signatures` — it must stay
+    in exact parity with the oracle's shingle CTE (__spark_entry__)."""
     toks = F.col("toks")
-    sh = F.transform(
+    return F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return (
-        with_toks.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
     )
 
 
@@ -94,11 +101,11 @@ def ngram_jaccard_pairs(
     # cap² per shingle). This replaces the previous two tokenize passes +
     # driver-collected hot-shingle broadcast + shingle self-join (which
     # shuffled the exploded relation twice more).
-    lists = (
+    lists = scoped_cache(
         sh_all.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= df_cap)
-        .cache()
+        .filter(F.size("ids") <= df_cap),
+        "ngram_lists",
     )
     sizes = (
         lists.select(F.explode("ids").alias("doc_id"))
@@ -139,13 +146,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     shingle) shuffle. A doc's shingles sit in one input row, so the min-agg
     partially combines map-side to ~1 row/doc/task before shuffling."""
     with_toks = docs.select("doc_id", tokens_col("text").alias("toks"))
-    toks = F.col("toks")
-    n = 3
-    sh_expr = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    sh = with_toks.select("doc_id", F.explode(sh_expr).alias("shingle"))
+    sh = with_toks.select("doc_id", F.explode(_shingle_expr(3)).alias("shingle"))
     aggs = [
         F.min(_h(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
         for i in range(n_hashes)
@@ -160,7 +161,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band self-join is the scale path: no pairwise comparison outside a
     bucket."""
     docs = _docs(spark, sf_dir)
-    sig = minhash_signatures(docs).cache()
+    sig = scoped_cache(minhash_signatures(docs), "minhash_sig")
     rows_per_band = N_MINHASH // N_BANDS
     bands = []
     for bnd in range(N_BANDS):
@@ -311,7 +312,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
     chunk — sparse at any N), exact popcount verify. The shift+mask chunk
     extraction is sign-agnostic: masked bits never overlap arithmetic-shift
     fill bits."""
-    fps = simhash_fingerprints(spark, sf_dir).cache()
+    fps = scoped_cache(simhash_fingerprints(spark, sf_dir), "simhash_fps")
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     chunks = []

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from miru_spark.functions.cache import scoped_cache
 from miru_spark.functions.topk import ranked_topk as _ranked_topk
 from pyspark.sql import functions as F
 
@@ -66,7 +67,7 @@ def ivf_topk(
     posexplode + groupBy — all JVM-side), probe the n_probe nearest cells,
     exact re-rank inside them. Recall < 1 by design; returns the same schema
     as brute force for recall measurement."""
-    emb = _emb(spark, sf_dir).cache()
+    emb = scoped_cache(_emb(spark, sf_dir), "ivf_emb")
     # centroids: explode (label, pos, val) → avg per (label, pos) → re-assemble
     cexp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
@@ -100,12 +101,30 @@ def ivf_topk(
     )
 
 
+def _pair_cosine(a: DataFrame, b: DataFrame, key: str, threshold: float) -> DataFrame:
+    """Shared compare/threshold/order tail for BLOCKED near-dup pairs: join
+    a(id_a, key, va) with b(id_b, key, vb) on the blocking key, keep
+    id_a < id_b, rounded-6dp cosine >= threshold, ordered output. One copy
+    of the pair contract (rounding, tie rule, threshold semantics) so the
+    label-blocked and LSH-blocked variants cannot drift apart. The ORACLES
+    filter on the same rounded value (round BEFORE compare) — keep both
+    sides identical or threshold-window pairs flip the gate."""
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (blocking keeps
-    the join off the cross product; at scale the block key would be an LSH
-    bucket). Output (id_a, id_b, cosine) with cosine >= threshold."""
+    the join off the cross product; the label-free scale form is
+    ``embedding_neardup_lsh``). Output (id_a, id_b, cosine >= threshold)."""
     emb = _emb(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("l"), F.col("embedding").alias("va")
@@ -113,14 +132,7 @@ def embedding_neardup_pairs(
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("l"), F.col("embedding").alias("vb")
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        a.join(b, "l")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    return _pair_cosine(a, b, "l", threshold)
 
 
 def embedding_neardup_lsh(
@@ -150,14 +162,7 @@ def embedding_neardup_lsh(
     b = emb.select(
         F.col("vec_id").alias("id_b"), "bucket", F.col("embedding").alias("vb")
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    return _pair_cosine(a, b, "bucket", threshold)
 
 
 def _lsh_bucket_col(n_planes: int = 8, dim: int = 64) -> Column:

@@ -137,3 +137,30 @@ def test_xor_matches_oracle_both_paths(tiny_index, corpus_with_ids, spark):
         _assert_rank_identical(got_l, exp, q)
         got_d = search_distributed(spark, tiny_index, q, k=10).toPandas()
         _assert_rank_identical(got_d, exp, q)
+
+
+def test_tfidf_twin_survives_absent_query_term(spark, tmp_path):
+    """Regression: ANSI mode makes tf/0 THROW, so ft_tfidf_miru must skip
+    query terms with collection frequency 0 (a corpus simply missing one of
+    the fixed terms) instead of dividing by their zero CF."""
+    from miru_spark.operators.fulltext import QUERY_TERMS_OR, ft_tfidf_miru
+
+    sf = str(tmp_path)
+    rows = [
+        (i, "python", f"doc {i} holds {QUERY_TERMS_OR[0]} tokens only", 30)
+        for i in range(4)
+    ] + [(4, "python", "nothing relevant here", 21)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = ft_tfidf_miru(spark, sf).toPandas()
+    # terms 1..k never occur: score = tf_0/cf_0, only docs 0-3 match
+    assert got["doc_id"].tolist() == [3, 2, 1, 0]
+    assert all(abs(s - 0.25) < 1e-9 for s in got["score"])
+
+    # corpus missing EVERY query term → empty result, not an exception
+    spark.createDataFrame(
+        [(0, "python", "no match at all", 15)],
+        "doc_id long, lang string, text string, n_chars long",
+    ).write.parquet(f"{tmp_path}/empty/documents.parquet")
+    assert ft_tfidf_miru(spark, f"{tmp_path}/empty").count() == 0
