@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,  # connected components
+        "dedup_survivors": dedup.dedup_survivors,  # corpus after removal
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # similarity search
@@ -690,6 +691,26 @@ closure(id, r) AS (
 comp AS (SELECT id, min(r) AS cluster FROM closure GROUP BY id)
 SELECT cluster, count(*)::BIGINT AS n_members FROM comp
 GROUP BY cluster HAVING count(*) >= 2 ORDER BY cluster
+""",
+        "dedup_survivors": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+closure(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT c.id, e.b FROM closure c JOIN edges e ON c.r = e.a),
+comp AS (SELECT id, min(r) AS cluster FROM closure GROUP BY id),
+nonkeep AS (SELECT id FROM comp WHERE id <> cluster)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE doc_id NOT IN (SELECT id FROM nonkeep))::BIGINT AS n_survivors,
+       count(*) FILTER (WHERE doc_id IN (SELECT id FROM nonkeep))::BIGINT AS n_dropped
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "simhash_fingerprints": simhash_cte + "SELECT doc_id, simhash FROM fp ORDER BY doc_id",
         "simhash_neardup_pairs": simhash_cte

@@ -216,6 +216,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
 
     Output: (cluster, n_members) for components with >= 2 docs, cluster id
     = min doc_id of the component (the canonical keeper)."""
+    labels, edges = _propagate_labels(spark, sf_dir, max_iter)
+    out = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .select(F.col("label").alias("cluster"), "n_members")
+        .orderBy("cluster")
+    )
+    # materialize before releasing the iteration caches (result is tiny)
+    rows = out.collect()
+    labels.unpersist()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema) if rows else spark.createDataFrame([], out.schema)
+
+
+def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
+    """Min-label propagation over the MinHash-LSH candidate graph. Returns
+    (labels, edges) — labels = (id, label=component min) for every doc that
+    touches a candidate edge, BOTH still cached; the caller unpersists after
+    materializing its result."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.unionAll(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -250,14 +270,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
         labels = new_labels
         if new_sum == prev_sum:
             break
-    out = (
-        labels.groupBy("label")
-        .agg(F.count("*").alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-        .select(F.col("label").alias("cluster"), "n_members")
-        .orderBy("cluster")
+    return labels, edges
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """The corpus AFTER near-dup removal — what a training-data pipeline
+    actually ships: keep the min-doc_id member of every LSH candidate
+    component, drop the rest. Non-keepers come off the propagated label set
+    (id != label), removed with a left-anti join (never an isin literal —
+    the dropped set can be a large fraction of the corpus at scale).
+    Output per-lang (n_docs, n_survivors, n_dropped) — compact, and any
+    keeper-selection drift flips the counts."""
+    labels, edges = _propagate_labels(spark, sf_dir, max_iter)
+    nonkeep = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
     )
-    # materialize before releasing the iteration caches (result is tiny)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    surv = docs.join(nonkeep, "doc_id", "left_anti")
+    out = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(surv.groupBy("lang").agg(F.count("*").alias("n_survivors")), "lang")
+        .withColumn("n_dropped", F.col("n_docs") - F.col("n_survivors"))
+        .orderBy("lang")
+    )
     rows = out.collect()
     labels.unpersist()
     edges.unpersist()
