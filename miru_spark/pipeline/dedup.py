@@ -309,17 +309,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 64) -> Da
     configuration: 16-bit pigeonhole chunks give 65,536 buckets per chunk,
     keeping the candidate join sparse as N grows (a 16-bit fingerprint's
     6-bit chunks degenerate toward all-pairs)."""
-    # md5 per OCCURRENCE, not per dictionary term: a term-dictionary
-    # distinct() is a full vocabulary shuffle and its broadcast is unbounded
-    # at corpus scale, while per-occurrence hashing is pure map work feeding
-    # ONE shuffle of n_docs rows (tokens of a doc sit in one input row, so
-    # the 64-sum groupBy partially aggregates map-side to ~1 row/doc/task).
-    # Measured 3.5x faster than the dictionary+broadcast variant at sf0.1.
     docs = _docs(spark, sf_dir)
-    occ = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    return simhash_of(docs, ["doc_id"], bits=bits).orderBy("doc_id")
+
+
+def simhash_of(
+    docs: DataFrame, id_cols: list[str], text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id_cols..., simhash) over any docs relation — the core shared by the
+    batch gate entry and the streaming ingest filter.
+
+    md5 per OCCURRENCE, not per dictionary term: a term-dictionary
+    distinct() is a full vocabulary shuffle and its broadcast is unbounded
+    at corpus scale, while per-occurrence hashing is pure map work feeding
+    ONE shuffle of n_docs rows (tokens of a doc sit in one input row, so
+    the 64-sum groupBy partially aggregates map-side to ~1 row/doc/task).
+    Measured 3.5x faster than the dictionary+broadcast variant at sf0.1."""
+    occ = docs.select(*id_cols, F.explode(tokens_col(text_col)).alias("token"))
     md = F.md5(F.col("token"))
     h = occ.select(
-        "doc_id",
+        *id_cols,
         F.conv(F.substring(md, 1, 12), 16, 10).cast("long").alias("h_lo"),
         F.conv(F.substring(md, 13, 4), 16, 10).cast("long").alias("h_hi"),
     )
@@ -333,12 +342,35 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 64) -> Da
         F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
-    per_doc = h.groupBy("doc_id").agg(*agg)
+    per_doc = h.groupBy(*id_cols).agg(*agg)
     fp = sum(
         F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         for i in range(bits - 1)
     ) + F.when(F.col(f"b{bits-1}") > 0, F.lit(-(2 ** (bits - 1)))).otherwise(F.lit(0))
-    return per_doc.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
+    return per_doc.select(*id_cols, fp.cast("long").alias("simhash"))
+
+
+def chunked(fps: DataFrame, id_cols: list[str], n_chunks: int = 4) -> DataFrame:
+    """Explode fingerprints to (id_cols..., simhash, chunk, ckey) pigeonhole
+    rows: any pair within hamming < n_chunks shares some chunk. The
+    shift+mask extraction is sign-agnostic (masked bits never overlap the
+    arithmetic-shift fill bits)."""
+    chunk_bits = 64 // n_chunks
+    parts = [
+        fps.select(
+            *id_cols,
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("ckey"),
+        )
+        for c in range(n_chunks)
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
@@ -349,23 +381,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
     extraction is sign-agnostic: masked bits never overlap arithmetic-shift
     fill bits."""
     fps = scoped_cache(simhash_fingerprints(spark, sf_dir), "simhash_fps")
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    chunks = []
-    for c in range(n_chunks):
-        chunks.append(
-            fps.select(
-                "doc_id",
-                "simhash",
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("ckey"),
-            )
-        )
-    all_chunks = chunks[0]
-    for x in chunks[1:]:
-        all_chunks = all_chunks.unionAll(x)
+    all_chunks = chunked(fps, ["doc_id"], n_chunks=max_hamming + 1)
     a, b = all_chunks.alias("a"), all_chunks.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ham = F.bit_count(xor)  # JVM popcount (was 16 shift-and terms)

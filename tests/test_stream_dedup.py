@@ -1,0 +1,104 @@
+"""Ingest-time near-dup filtering (streaming/dedup.py): novel-only
+survivors, cross-batch store matching, intra-batch drop rule, replay
+idempotency."""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.streaming.dedup import filter_batch
+
+SCHEMA = "repo string, path string, commit string, lang string, text string"
+
+BASE = (
+    "def merge_sort(arr): left = merge_sort(arr[:mid]); right ="
+    " merge_sort(arr[mid:]); return merge(left, right) # stable sort kernel"
+)
+OTHER = (
+    "class RingBuffer: push pop capacity wraparound index head tail"
+    " overflow guard memory layout contiguous"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "dedup_store")
+
+
+def _keys(df):
+    return sorted((r["repo"], r["path"]) for r in df.select("repo", "path").collect())
+
+
+def test_first_batch_keeps_novel_drops_intra_batch_dup(spark, store):
+    rows = [
+        ("r1", "a.py", "c1", "python", BASE),
+        ("r1", "b.py", "c1", "python", BASE + " tail"),  # near-dup of a.py
+        ("r1", "c.py", "c1", "python", OTHER),
+    ]
+    out = filter_batch(spark, _batch(spark, rows), store, batch_id=0)
+    # a < b by key, so b drops against a; c is novel
+    assert _keys(out) == [("r1", "a.py"), ("r1", "c.py")]
+
+
+def test_second_batch_matches_store_across_batches(spark, store):
+    filter_batch(
+        spark,
+        _batch(spark, [("r1", "a.py", "c1", "python", BASE)]),
+        store,
+        batch_id=0,
+    )
+    rows = [
+        ("r2", "z.py", "c9", "python", BASE + " suffix"),  # near-dup of stored a.py
+        ("r2", "y.py", "c9", "python", OTHER),
+    ]
+    out = filter_batch(spark, _batch(spark, rows), store, batch_id=1)
+    assert _keys(out) == [("r2", "y.py")]
+
+
+def test_exact_duplicate_always_drops(spark, store):
+    filter_batch(
+        spark,
+        _batch(spark, [("r1", "a.py", "c1", "python", BASE)]),
+        store,
+        batch_id=0,
+    )
+    out = filter_batch(
+        spark,
+        _batch(spark, [("r1", "a.py", "c2", "python", BASE)]),  # same text, new commit
+        store,
+        batch_id=1,
+    )
+    assert out.count() == 0
+
+
+def test_replay_is_idempotent(spark, store):
+    rows = [
+        ("r1", "a.py", "c1", "python", BASE),
+        ("r1", "b.py", "c1", "python", BASE + " tail"),
+    ]
+    first = _keys(filter_batch(spark, _batch(spark, rows), store, batch_id=0))
+    # replay the SAME batch id: identical survivors, store unchanged —
+    # critically, a.py must NOT be dropped against its own stored fingerprint
+    replay = _keys(filter_batch(spark, _batch(spark, rows), store, batch_id=0))
+    assert replay == first == [("r1", "a.py")]
+    nxt = filter_batch(
+        spark,
+        _batch(spark, [("r9", "n.py", "c1", "python", OTHER)]),
+        store,
+        batch_id=1,
+    )
+    assert _keys(nxt) == [("r9", "n.py")]
+
+
+def test_unrelated_docs_all_survive(spark, store):
+    rows = [
+        ("r1", "a.py", "c1", "python", BASE),
+        ("r1", "b.py", "c1", "python", OTHER),
+        ("r1", "c.py", "c1", "go", "package main import fmt net http handler"),
+    ]
+    out = filter_batch(spark, _batch(spark, rows), store, batch_id=0)
+    assert out.count() == 3
