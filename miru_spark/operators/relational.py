@@ -154,10 +154,18 @@ def reco_collaborative(spark: SparkSession, sf_dir: str, cust_key: int = 1) -> D
     top-N heap at the end (CollaborativeFiltering.java:129-146,205-207)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    bought = (
+    # bought appears THREE times in the query (mine / others / final); the
+    # static plan otherwise re-executes the orders⋈lineitem join + distinct
+    # for each occurrence (16 parquet scans observed). The distinct
+    # (custkey, partkey) int pairs are far smaller than the fact table —
+    # cache them once; scans drop to one pass per input table.
+    from miru_spark.functions.cache import scoped_cache
+
+    bought = scoped_cache(
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
-        .distinct()
+        .distinct(),
+        "reco_bought",
     )
     mine = bought.filter(F.col("custkey") == cust_key).select("partkey")
     others = (

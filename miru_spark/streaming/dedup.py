@@ -85,6 +85,7 @@ def filter_batch(
     store_dir: str,
     batch_id: int,
     max_hamming: int = 3,
+    text_col: str = "content",
 ) -> DataFrame:
     """Return the NOVEL rows of ``batch_df`` (full original columns) and
     commit their fingerprints to the store. Replay-safe: a completed
@@ -98,7 +99,7 @@ def filter_batch(
         keys = spark.read.parquet(os.path.join(store_dir, _STORE, rec["file"]))
         return batch_df.join(keys.select(*KEY), KEY, "left_semi")
 
-    fps = simhash_of(batch_df, KEY).cache()
+    fps = simhash_of(batch_df, KEY, text_col=text_col).cache()
     bchunks = chunked(fps, KEY, n_chunks=max_hamming + 1)
 
     # (a) near-dup of any committed stored fingerprint

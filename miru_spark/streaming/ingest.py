@@ -111,11 +111,19 @@ def _save_pending(index_dir: str, ops: list) -> None:
 
 
 def append_batch(
-    batch_df: DataFrame, batch_id: int, index_dir: str, partitions_per_batch: int = 4
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    partitions_per_batch: int = 4,
+    dedup_store: str | None = None,
 ) -> None:
     """Index one micro-batch: reserve pids durably, build with resume, mark
     done — idempotent under replay at every crash point. Rows with
-    op='remove'/'repair' are journaled for ``refresh()`` instead of built."""
+    op='remove'/'repair' are journaled for ``refresh()`` instead of built.
+    With ``dedup_store`` set, 'add' rows pass through the ingest-time
+    near-dup filter (streaming/dedup.py) first — only novel docs are
+    indexed; the filter's own journal makes the composition replay-safe
+    (a replayed batch re-reads the identical survivor set)."""
     batches = _load_batches(index_dir)
     rec = batches.get(str(batch_id))
     if rec is not None and (
@@ -152,6 +160,12 @@ def append_batch(
             rec["ops_recorded"] = True
             _save_batches(index_dir, batches)
         batch_df = batch_df.filter(F.col("op").isNull() | (F.col("op") == "add")).drop("op")
+    if dedup_store is not None:
+        from miru_spark.streaming.dedup import filter_batch
+
+        batch_df = filter_batch(
+            batch_df.sparkSession, batch_df, dedup_store, batch_id
+        )
     if batch_df.isEmpty():
         rec["done"] = True
         _save_batches(index_dir, batches)
@@ -200,15 +214,20 @@ def ingest_stream(
     checkpoint_dir: str,
     partitions_per_batch: int = 4,
     available_now: bool = True,
+    dedup_store: str | None = None,
 ):
     """Start the streaming build: parquet files arriving in ``source_dir``
     are tokenized and appended as index partitions. ``available_now=True``
     drains what's there and stops (the batch-incremental mode); False keeps
-    a continuous stream. Returns the StreamingQuery."""
+    a continuous stream. ``dedup_store`` enables ingest-time near-dup
+    filtering (streaming/dedup.py) before indexing. Returns the
+    StreamingQuery."""
     os.makedirs(index_dir, exist_ok=True)
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(source_dir)
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: append_batch(df, bid, index_dir, partitions_per_batch)
+        lambda df, bid: append_batch(
+            df, bid, index_dir, partitions_per_batch, dedup_store=dedup_store
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

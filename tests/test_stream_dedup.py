@@ -8,7 +8,7 @@ import pytest
 
 from miru_spark.streaming.dedup import filter_batch
 
-SCHEMA = "repo string, path string, commit string, lang string, text string"
+SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 BASE = (
     "def merge_sort(arr): left = merge_sort(arr[:mid]); right ="
@@ -102,3 +102,40 @@ def test_unrelated_docs_all_survive(spark, store):
     ]
     out = filter_batch(spark, _batch(spark, rows), store, batch_id=0)
     assert out.count() == 3
+
+
+def test_ingest_with_dedup_store_indexes_only_novel(spark, tmp_path):
+    """append_batch(dedup_store=...) composition: a doc repeated (near-
+    verbatim) in a later batch is filtered before indexing, and a replay
+    of that batch stays idempotent."""
+    import json
+    import os
+
+    from miru_spark.streaming.ingest import append_batch, refresh
+
+    index_dir = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    os.makedirs(index_dir)
+    b0 = _batch(
+        spark,
+        [
+            ("r1", "a.py", "c1", "python", BASE),
+            ("r1", "b.py", "c1", "python", OTHER),
+        ],
+    )
+    append_batch(b0, 0, index_dir, partitions_per_batch=1, dedup_store=store)
+    b1 = _batch(
+        spark,
+        [
+            ("r2", "copy.py", "c2", "python", BASE + " end"),  # near-dup of a.py
+            ("r2", "new.py", "c2", "go", "package main func handler(w, r)"),
+        ],
+    )
+    append_batch(b1, 1, index_dir, partitions_per_batch=1, dedup_store=store)
+    # replay batch 1 — no new docs, no new pids
+    append_batch(b1, 1, index_dir, partitions_per_batch=1, dedup_store=store)
+    refresh(spark, index_dir)
+    with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+        assert json.load(f)["n_docs"] == 3  # a, b, new — copy filtered
+    batches = json.load(open(os.path.join(index_dir, "stream_batches.json")))
+    assert batches["1"]["n_docs"] == 1
