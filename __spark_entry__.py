@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
+        "training_shards": text.training_shards,  # quality filter → token-budget shards
         "lang_id": text.lang_id,
         "doc_fingerprints": text.doc_fingerprints,
         "winnow_fingerprints": text.winnow_fingerprints,  # MOSS rolling hash
@@ -756,6 +757,20 @@ FROM a JOIN b USING (lang) ORDER BY lang
 WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, lang, len(toks)::INT AS n_tokens, round({quality_expr}, 6) AS quality
 FROM t ORDER BY round({quality_expr}, 6) ASC, doc_id ASC LIMIT 20
+""",
+        "training_shards": f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+k AS (
+  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens
+  FROM t WHERE round({quality_expr}, 6) >= 0.5),
+s AS (
+  SELECT lang, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM k)
+SELECT lang, (cum // 20000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM s GROUP BY lang, shard ORDER BY lang, shard
 """,
         "lang_id": _lang_id_sql(),
         "winnow_fingerprints": f"""

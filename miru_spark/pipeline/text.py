@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from miru_spark.analyzer import tokens_col
 
@@ -79,6 +80,23 @@ def quality_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     ratio, alpha ratio — the C4/Gopher-style filters as one JVM expression.
     Returns bottom-k (the docs a pipeline would drop)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text", tokens_col("text").alias("toks"))
+    n, score = _quality_exprs()
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n.alias("n_tokens"),
+            F.round(score, 6).alias("quality"),
+        )
+        .orderBy(F.asc("quality"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _quality_exprs():
+    """(n_tokens, score) column pair over materialized ``text``+``toks``
+    columns — ONE definition shared by quality_scores and training_shards
+    (must stay in parity with the oracle's quality expression)."""
     toks = F.col("toks")
     n = F.size(toks)
     sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -94,15 +112,42 @@ def quality_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * 0.2
         + alpha_ratio * 0.2
     )
+    return n, score
+
+
+def training_shards(
+    spark: SparkSession, sf_dir: str, quality_min: float = 0.5, shard_tokens: int = 20_000
+) -> DataFrame:
+    """The capstone composition a training-data pipeline ships: quality-
+    filter the corpus (same expression as `quality_scores`, round-then-
+    compare like every threshold gate), then pack surviving docs into
+    fixed-token-budget shards per lang in deterministic doc_id order:
+    shard = floor(tokens accumulated BEFORE the doc / shard_tokens), so a
+    doc never splits and every shard except the last holds >= shard_tokens.
+
+    Scale shape: the cumulative sum is a window PARTITIONED BY lang — shard
+    streams are independent per lang, so no single-partition WindowExec; at
+    deployment scale a lang whose stream outgrows one task is sub-sharded
+    by a hash prefix on top of the same frame. Output per shard:
+    (lang, shard, n_docs, n_tokens)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text", tokens_col("text").alias("toks")
+    )
+    n, score = _quality_exprs()
+    kept = docs.select(
+        "doc_id", "lang", n.alias("n_tokens"), F.round(score, 6).alias("q")
+    ).filter(F.col("q") >= quality_min)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
-        docs.select(
-            "doc_id",
-            "lang",
-            n.alias("n_tokens"),
-            F.round(score, 6).alias("quality"),
-        )
-        .orderBy(F.asc("quality"), F.asc("doc_id"))
-        .limit(k)
+        kept.withColumn("shard", F.floor(cum_before / F.lit(shard_tokens)))
+        .groupBy("lang", "shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("lang", "shard")
     )
 
 
