@@ -240,10 +240,17 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     edges = pairs.unionAll(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).cache()
+    # localCheckpoint each round TRUNCATES LINEAGE — without it the labels
+    # plan references (edges ⋈ previous labels) recursively, the logical
+    # tree doubles per round, and at 1M docs (deeper graphs → more rounds)
+    # the canonicalized plan string overflows the JVM's 1 GiB limit
+    # ("UTF16 String size is 1958187415", observed). Executor-local
+    # checkpoints are not fault-tolerant; a deployment run would point
+    # sparkContext.setCheckpointDir at durable storage and use checkpoint().
     labels = (
         edges.select(F.col("id_a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -260,13 +267,12 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         # labels only ever DECREASE, so the label sum strictly decreases
         # until convergence — one aggregate replaces a join-based diff
         prev_sum = labels.agg(F.sum("label")).first()[0]
         new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
