@@ -27,7 +27,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dot(a: Column, b: Column) -> Column:
     # per-element products in float64 (embeddings are float32 on disk; doing
-    # the math in double makes Spark and the DuckDB oracle bit-identical)
+    # the math in double makes Spark and the DuckDB oracle bit-identical).
+    # Deliberately the higher-order form, NOT a dim-unrolled arithmetic
+    # expression: unrolling 64 element_at terms looked like it would win
+    # codegen CSE, but the expression-tree blowup (8 LSH planes × 64 terms ×
+    # literal arrays) cost 5-8x in plan/codegen time per query — measured
+    # cosine_topk 0.3→7.8 s, lsh_ann_topk 3.8→29 s. The HOF's per-pair
+    # double-eval under a pushed filter is the cheaper evil; hoisting norms
+    # to the join inputs (see _pair_cosine) removes the redundant 2/3.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -108,8 +115,15 @@ def _pair_cosine(a: DataFrame, b: DataFrame, key: str, threshold: float) -> Data
     of the pair contract (rounding, tie rule, threshold semantics) so the
     label-blocked and LSH-blocked variants cannot drift apart. The ORACLES
     filter on the same rounded value (round BEFORE compare) — keep both
-    sides identical or threshold-window pairs flip the gate."""
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    sides identical or threshold-window pairs flip the gate.
+
+    Norms are hoisted to the JOIN INPUTS — computed once per vector row,
+    not once per candidate pair (pairs >> vectors under any blocking);
+    na*nb is the same float64 product the oracle's sqrt(..)*sqrt(..)
+    computes, so values are unchanged."""
+    a = a.withColumn("na", _norm(F.col("va")))
+    b = b.withColumn("nb", _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
