@@ -252,6 +252,10 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # labels only ever DECREASE, so the label sum strictly decreases until
+    # convergence — one aggregate per round (carried forward, not
+    # recomputed) replaces a join-based diff
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -267,15 +271,16 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materialized before old labels release
         )
-        # labels only ever DECREASE, so the label sum strictly decreases
-        # until convergence — one aggregate replaces a join-based diff
-        prev_sum = labels.agg(F.sum("label")).first()[0]
         new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # release the previous round's checkpoint storage — without this,
+        # up to max_iter full label copies stay pinned until driver GC
+        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels, edges
 
 
@@ -296,7 +301,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Dat
     out = (
         docs.groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
-        .join(surv.groupBy("lang").agg(F.count("*").alias("n_survivors")), "lang")
+        # LEFT join: a lang whose every doc is a non-keeper has no survivor
+        # rows at all — it must still report (lang, n, 0, n) like the oracle
+        .join(surv.groupBy("lang").agg(F.count("*").alias("n_survivors")), "lang", "left")
+        .withColumn("n_survivors", F.coalesce(F.col("n_survivors"), F.lit(0)))
         .withColumn("n_dropped", F.col("n_docs") - F.col("n_survivors"))
         .orderBy("lang")
     )

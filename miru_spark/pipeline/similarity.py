@@ -120,9 +120,13 @@ def _pair_cosine(a: DataFrame, b: DataFrame, key: str, threshold: float) -> Data
     Norms are hoisted to the JOIN INPUTS — computed once per vector row,
     not once per candidate pair (pairs >> vectors under any blocking);
     na*nb is the same float64 product the oracle's sqrt(..)*sqrt(..)
-    computes, so values are unchanged."""
-    a = a.withColumn("na", _norm(F.col("va")))
-    b = b.withColumn("nb", _norm(F.col("vb")))
+    computes, so values are unchanged. A caller whose side is row-expanded
+    (probe explode) precomputes na/nb BEFORE the expansion; the columns
+    are only added here if absent."""
+    if "na" not in a.columns:
+        a = a.withColumn("na", _norm(F.col("va")))
+    if "nb" not in b.columns:
+        b = b.withColumn("nb", _norm(F.col("vb")))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, key)
@@ -168,8 +172,11 @@ def embedding_neardup_lsh(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
     )
+    # norm BEFORE the probe explode — after it, the same vector appears
+    # n_planes+1 times and the norm would compute once per probe row
     a = emb.select(
         F.col("vec_id").alias("id_a"),
+        _norm(F.col("embedding")).alias("na"),
         F.explode(probes).alias("bucket"),
         F.col("embedding").alias("va"),
     )

@@ -34,13 +34,12 @@ like streaming/ingest.py) — so survivor sets are stable across crashes.
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from miru_spark.jsonio import load_json, save_json_atomic
 from miru_spark.pipeline.dedup import chunked, simhash_of
 
 _JOURNAL = "dedup_batches.json"
@@ -49,19 +48,11 @@ KEY = ["repo", "path", "commit"]
 
 
 def _load_journal(store_dir: str) -> dict:
-    p = os.path.join(store_dir, _JOURNAL)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {}
+    return load_json(os.path.join(store_dir, _JOURNAL), {})
 
 
 def _save_journal(store_dir: str, journal: dict) -> None:
-    p = os.path.join(store_dir, _JOURNAL)
-    tmp = p + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(journal, f)
-    os.replace(tmp, p)
+    save_json_atomic(os.path.join(store_dir, _JOURNAL), journal)
 
 
 def _store_df(spark: SparkSession, store_dir: str, journal: dict) -> DataFrame | None:
@@ -136,7 +127,17 @@ def filter_batch(
         .distinct()
     )
     dropped = hits_batch if hits_store is None else hits_store.unionAll(hits_batch).distinct()
-    novel_fps = fps.join(dropped, KEY, "left_anti")
+    # zero-token docs produce NO fingerprint row (explode of an empty token
+    # array) — they cannot be simhash near-dups, so they are survivors; a
+    # left join keeps their keys with a NULL simhash. NULL fingerprints in
+    # the store never match anything later (chunk keys become NULL, and
+    # NULL never equi-joins), and the replay path reads the store file as
+    # the survivor set, so they must be IN it or a replay would drop them.
+    all_keys = batch_df.select(*KEY).distinct()
+    novel_fps = (
+        all_keys.join(fps, KEY, "left")
+        .join(dropped, KEY, "left_anti")
+    )
 
     # store append: parquet data durable BEFORE the journal names it (a
     # crash in between leaves an orphan file no journal record points at —

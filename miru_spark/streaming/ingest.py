@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,25 +50,18 @@ from pyspark.sql import functions as F
 from miru_spark.corpus import CORPUS_SCHEMA
 from miru_spark.index import removal
 from miru_spark.index.build import build_field_filters, build_segments, key_partition
+from miru_spark.jsonio import load_json, save_json_atomic
 
 _BATCHES = "stream_batches.json"
 _PENDING = "pending_ops.json"
 
 
 def _load_batches(index_dir: str) -> dict:
-    p = os.path.join(index_dir, _BATCHES)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {}
+    return load_json(os.path.join(index_dir, _BATCHES), {})
 
 
 def _save_batches(index_dir: str, batches: dict) -> None:
-    p = os.path.join(index_dir, _BATCHES)
-    tmp = p + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(batches, f)
-    os.replace(tmp, p)
+    save_json_atomic(os.path.join(index_dir, _BATCHES), batches)
 
 
 def _bases(index_dir: str, batches: dict | None = None) -> int:
@@ -95,19 +87,11 @@ def _bases(index_dir: str, batches: dict | None = None) -> int:
 
 
 def _load_pending(index_dir: str) -> list:
-    p = os.path.join(index_dir, _PENDING)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return []
+    return load_json(os.path.join(index_dir, _PENDING), [])
 
 
 def _save_pending(index_dir: str, ops: list) -> None:
-    p = os.path.join(index_dir, _PENDING)
-    tmp = p + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(ops, f)
-    os.replace(tmp, p)
+    save_json_atomic(os.path.join(index_dir, _PENDING), ops)
 
 
 def append_batch(

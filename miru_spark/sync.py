@@ -35,6 +35,8 @@ import os
 import shutil
 import uuid
 
+from miru_spark.jsonio import load_json as _load_json
+from miru_spark.jsonio import save_json_atomic as _write_atomic_json
 from miru_spark.schema import check_additive, load_schema, save_schema
 
 _PROGRESS = "sync_progress.json"
@@ -45,20 +47,6 @@ def _manifest_fingerprint(m: dict) -> str:
         {k: m[k] for k in ("pid", "n_docs", "n_tokens", "n_postings", "n_terms")},
         sort_keys=True,
     )
-
-
-def _load_json(path: str, default):
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    return default
-
-
-def _write_atomic_json(path: str, obj) -> None:
-    tmp = path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)
 
 
 def _copy_atomic(src: str, dst: str) -> None:

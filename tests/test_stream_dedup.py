@@ -139,3 +139,22 @@ def test_ingest_with_dedup_store_indexes_only_novel(spark, tmp_path):
         assert json.load(f)["n_docs"] == 3  # a, b, new — copy filtered
     batches = json.load(open(os.path.join(index_dir, "stream_batches.json")))
     assert batches["1"]["n_docs"] == 1
+
+
+def test_zero_token_docs_survive_and_replay(spark, store):
+    """A doc whose content tokenizes to [] has no fingerprint — it must
+    still survive (it cannot be a simhash near-dup) on both the first run
+    and a replay (the store file is the replay survivor set)."""
+    rows = [
+        ("r1", "a.py", "c1", "python", BASE),
+        ("r1", "empty.txt", "c1", "python", "!!! ??? ..."),  # tokenizes to []
+    ]
+    out = _keys(filter_batch(spark, _batch(spark, rows), store, batch_id=0))
+    assert out == [("r1", "a.py"), ("r1", "empty.txt")]
+    replay = _keys(filter_batch(spark, _batch(spark, rows), store, batch_id=0))
+    assert replay == out
+    # and the null fingerprint never poisons later store matching
+    nxt = filter_batch(
+        spark, _batch(spark, [("r2", "n.py", "c1", "go", OTHER)]), store, batch_id=1
+    )
+    assert _keys(nxt) == [("r2", "n.py")]
