@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from miru_spark.index.merge import _concat_runs
+from miru_spark.jsonio import save_json_atomic
 
 
 def _load_manifests(index_dir: str) -> list[dict]:
@@ -68,10 +69,7 @@ def _finish_swap(index_dir: str, journal: dict) -> None:
         if os.path.exists(staged):
             os.replace(staged, final)
     mpath = os.path.join(man_dir, f"partition_{journal['manifest']['pid']}.json")
-    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(journal["manifest"], f)
-    os.replace(tmp, mpath)
+    save_json_atomic(mpath, journal["manifest"])
     os.remove(journal["_path"])
 
 
@@ -187,10 +185,7 @@ def compact(index_dir: str, target_docs: int = 1_000_000) -> dict:
             "promote": [[staged_seg, new_seg], [staged_meta, new_meta]],
         }
         jpath = os.path.join(man_dir, f"compact_{new_pid}.journal")
-        jtmp = jpath + f".tmp-{uuid.uuid4().hex}"
-        with open(jtmp, "w") as f:
-            json.dump(journal, f)
-        os.replace(jtmp, jpath)
+        save_json_atomic(jpath, journal)
         journal["_path"] = jpath
         _finish_swap(index_dir, journal)
 

@@ -4,7 +4,10 @@ Every journal/manifest/log in this engine persists the same way: write to
 a uniquely-named temp file, then `os.replace` into place (atomic on POSIX),
 so a crash leaves either the old file or the new one, never a torn write.
 Previously each module carried its own copy of this pattern; a fix to the
-convention (e.g. fsync-before-replace) now lands here once.
+convention (e.g. fsync-before-replace) now lands here once for every JSON
+artifact. (Binary/parquet payloads keep local equivalents of the same
+tmp+rename pattern: index/removal.py bytes, index/compact.py tables,
+sync.py file copies.)
 """
 
 from __future__ import annotations
