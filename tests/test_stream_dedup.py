@@ -158,3 +158,30 @@ def test_zero_token_docs_survive_and_replay(spark, store):
         spark, _batch(spark, [("r2", "n.py", "c1", "go", OTHER)]), store, batch_id=1
     )
     assert _keys(nxt) == [("r2", "n.py")]
+
+
+def test_crash_between_store_write_and_journal_recovers(spark, store):
+    """Crash window: the store parquet landed but the journal record did
+    not. The orphan file must be invisible to matching (a doc must not be
+    deduped against its own crashed attempt) and the retry must overwrite
+    it and produce the same survivors."""
+    import json
+    import os
+
+    from miru_spark.streaming.dedup import _JOURNAL, _STORE
+
+    rows = [
+        ("r1", "a.py", "c1", "python", BASE),
+        ("r1", "b.py", "c1", "python", BASE + " tail"),
+    ]
+    first = _keys(filter_batch(spark, _batch(spark, rows), store, batch_id=0))
+    # simulate the crash: erase the journal record, leave the parquet orphan
+    jp = os.path.join(store, _JOURNAL)
+    with open(jp) as f:
+        j = json.load(f)
+    del j["0"]
+    with open(jp, "w") as f:
+        json.dump(j, f)
+    assert os.path.exists(os.path.join(store, _STORE, "batch_0.parquet"))
+    retry = _keys(filter_batch(spark, _batch(spark, rows), store, batch_id=0))
+    assert retry == first == [("r1", "a.py")]
