@@ -182,9 +182,15 @@ def _media_oracle_sqls() -> tuple[str, str]:
     rows = []
     for i in range(120):
         seed = hashlib.md5(f"media{i}".encode()).digest()
-        payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
         kind = ["image", "audio", "video"][i % 3]
-        rows.append((i, kind, hashlib.md5(payload).hexdigest()))
+        if kind == "image":
+            # real PPM decode: the raster IS the tiled seed, so feature
+            # bytes come straight from md5("media{i}")
+            hx = seed.hex()
+        else:
+            payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
+            hx = hashlib.md5(payload).hexdigest()
+        rows.append((i, kind, hx))
     values = ",\n".join(f"({i}, '{k}', '{h}')" for i, k, h in rows)
     # feature k = float32(mean(h[(3k)%16], h[(3k+1)%16], h[(3k+2)%16]) / 255)
     feats = []

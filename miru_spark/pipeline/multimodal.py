@@ -2,11 +2,13 @@
 
 Image/audio/video are `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
-iterators over `mapInPandas`. The decode libraries (PIL/ffmpeg/librosa) are
-NOT in this container, so the actual codecs are STUBBED: `decode_image`
-raises NotImplementedError unless `fake=True`, in which case a deterministic
-md5-derived pseudo-decoder stands in. The Spark-side plumbing — schema,
-partition sizing, UDF signatures, Arrow batch shapes — is real and tested.
+iterators over `mapInPandas`. IMAGE decode is REAL: payloads are binary
+PPM (P6) and `decode_ppm` parses the standard format pure-stdlib (header +
+raw RGB raster) — no PIL needed; PIL is used opportunistically for other
+image formats when present. Audio/video codecs (ffmpeg/librosa) are NOT in
+this container, so those decodes remain honestly stubbed behind the
+deterministic md5 stand-in. The Spark-side plumbing — schema, partition
+sizing, UDF signatures, Arrow batch shapes — is real and tested.
 
 At 100 TB: binary payloads NEVER go through a shuffle — all transforms here
 are map-only (mapInPandas), and outputs carry only features/metadata, so
@@ -47,8 +49,19 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _image_pixels(i: int, w: int, h: int) -> bytes:
+    """Deterministic RGB pixel stream: md5(f"media{i}") tiled to w*h*3."""
+    seed = hashlib.md5(f"media{i}".encode()).digest()
+    need = w * h * 3
+    return (seed * (need // len(seed) + 1))[:need]
+
+
 def synthesize_media(spark: SparkSession, n: int = 100, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from md5(id)."""
+    """Deterministic media table. IMAGE payloads are REAL binary PPM (P6)
+    files — header + raw RGB bytes — so the decode path genuinely parses a
+    standard image format with no external library. Audio/video payloads
+    stay opaque md5-derived bytes (their codecs need ffmpeg, which this
+    container lacks)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -57,11 +70,16 @@ def synthesize_media(spark: SparkSession, n: int = 100, partitions: int = 4) -> 
             for i in ids:
                 i = int(i)
                 seed = hashlib.md5(f"media{i}".encode()).digest()
-                payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
                 kind = ["image", "audio", "video"][i % 3]
+                w = 32 + i % 32 if kind != "audio" else None
+                h = 32 + i % 16 if kind != "audio" else None
+                if kind == "image":
+                    payload = b"P6\n%d %d\n255\n" % (w, h) + _image_pixels(i, w, h)
+                else:
+                    payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
                 meta = {
-                    "width": 32 + i % 32 if kind != "audio" else None,
-                    "height": 32 + i % 16 if kind != "audio" else None,
+                    "width": w,
+                    "height": h,
                     "n_frames": (i % 8 + 1) if kind == "video" else None,
                     "sample_rate": 16000 if kind == "audio" else None,
                 }
@@ -77,18 +95,53 @@ except ImportError:
     _PILImage = None
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode, pure stdlib: parse a binary PPM (P6) — magic,
+    whitespace-separated width/height/maxval header, then raw RGB rows.
+    Returns (height, width, 3) uint8. No PIL/opencv needed: P6 is an
+    uncompressed standard format, which is exactly what a pre-decode
+    normalization stage in a media pipeline would write anyway."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: three ASCII ints after the magic, separated by whitespace
+    # (comments '#...' permitted per the spec), then ONE whitespace byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = payload[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Image decode. With PIL present the payload decodes for real; in this
-    container (no image libs) the deterministic md5-derived stand-in keeps
-    the Arrow plumbing testable, and fake=False raises honestly."""
+    """Image decode. PPM (P6) payloads decode FOR REAL via the pure-stdlib
+    parser; other formats use PIL when the container ships it; the
+    deterministic md5-derived stand-in (fake=True) remains for payloads in
+    codec formats this container cannot decode (jpeg/png without PIL)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if not fake:
         if _PILImage is not None:  # pragma: no cover - no PIL in sandbox
             import io
 
             return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
         raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this container; "
-            "pass fake=True for the deterministic stand-in"
+            "non-PPM image decode requires PIL/opencv — not available in this "
+            "container; pass fake=True for the deterministic stand-in"
         )
     h = hashlib.md5(payload).digest()
     side = 4
@@ -98,8 +151,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """payload → FEATURE_DIM float vector, Arrow-batched mapInPandas.
-    The feature is a deterministic hash-projection (stand-in for a real
-    vision/audio encoder); batch shape and output schema are the real deal."""
+    IMAGE payloads decode for real (PPM parser) and the feature is a mean
+    over pixel groups; audio/video use the deterministic hash stand-in for
+    their missing codecs. Batch shape and output schema are the real deal."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
