@@ -177,21 +177,14 @@ def _media_oracle_sqls() -> tuple[str, str]:
     constants, as in _lsh_oracle_sql); tiling, mean, float32 rounding, norm
     and aggregation are SQL. Frame sampling reduces to pure arithmetic:
     videos are i%3==2 with n_frames=i%8+1, sampled every 2nd frame."""
-    import hashlib
-
-    rows = []
-    for i in range(120):
-        seed = hashlib.md5(f"media{i}".encode()).digest()
-        kind = ["image", "audio", "video"][i % 3]
-        if kind == "image":
-            # real PPM decode: the raster IS the tiled seed, so feature
-            # bytes come straight from md5("media{i}")
-            hx = seed.hex()
-        else:
-            payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
-            hx = hashlib.md5(payload).hexdigest()
-        rows.append((i, kind, hx))
-    values = ",\n".join(f"({i}, '{k}', '{h}')" for i, k, h in rows)
+    # every modality decodes for real and its raster/sample stream IS the
+    # tiled md5("media{i}") digest, so the feature bytes derive from a hash
+    # DuckDB can compute itself — the oracle is now PURE SQL, no Python
+    # hash constants at all
+    values = (
+        "SELECT i AS media_id, ['image','audio','video'][(i % 3)::INT + 1] AS kind, "
+        "md5('media' || i::VARCHAR) AS hx FROM (SELECT unnest(range(0, 120)) AS i)"
+    )
     # feature k = float32(mean(h[(3k)%16], h[(3k+1)%16], h[(3k+2)%16]) / 255)
     feats = []
     for k in range(16):
@@ -201,7 +194,7 @@ def _media_oracle_sqls() -> tuple[str, str]:
         feats.append(f"((({bs}) / 3.0) / 255.0)::FLOAT::DOUBLE")
     fl = "[" + ", ".join(feats) + "]"
     features_sql = f"""
-WITH pm(media_id, kind, hx) AS (VALUES {values}),
+WITH pm AS ({values}),
 nn AS (SELECT kind, sqrt(list_sum(list_transform({fl}, x -> x * x))) AS norm FROM pm)
 SELECT kind, count(*)::BIGINT AS n, round(avg(norm), 6) AS avg_norm
 FROM nn GROUP BY kind ORDER BY kind

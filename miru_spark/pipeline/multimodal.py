@@ -69,24 +69,54 @@ def synthesize_media(spark: SparkSession, n: int = 100, partitions: int = 4) -> 
             rows = []
             for i in ids:
                 i = int(i)
-                seed = hashlib.md5(f"media{i}".encode()).digest()
                 kind = ["image", "audio", "video"][i % 3]
                 w = 32 + i % 32 if kind != "audio" else None
                 h = 32 + i % 16 if kind != "audio" else None
+                n_frames = (i % 8 + 1) if kind == "video" else None
                 if kind == "image":
                     payload = b"P6\n%d %d\n255\n" % (w, h) + _image_pixels(i, w, h)
+                elif kind == "audio":
+                    payload = _wav_payload(i, n_samples=128 + i % 128)
                 else:
-                    payload = (seed * (8 + i % 5))[: 64 + (i % 64)]
+                    payload = _y4m_payload(i, w, h, n_frames)
                 meta = {
                     "width": w,
                     "height": h,
-                    "n_frames": (i % 8 + 1) if kind == "video" else None,
+                    "n_frames": n_frames,
                     "sample_rate": 16000 if kind == "audio" else None,
                 }
                 rows.append((i, kind, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _seed_bytes(i: int, need: int) -> bytes:
+    seed = hashlib.md5(f"media{i}".encode()).digest()
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def _wav_payload(i: int, n_samples: int, rate: int = 16000) -> bytes:
+    """REAL RIFF/WAV file (PCM16 mono) via the stdlib `wave` module; the
+    sample bytes are the deterministic md5 stream."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(_seed_bytes(i, n_samples * 2))
+    return buf.getvalue()
+
+
+def _y4m_payload(i: int, w: int, h: int, n_frames: int) -> bytes:
+    """REAL YUV4MPEG2 stream (C444: three full-resolution planes per frame),
+    every frame carrying the deterministic md5 raster."""
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)
+    frame = b"FRAME\n" + _seed_bytes(i, w * h * 3)
+    return header + frame * n_frames
 
 
 try:  # real decoder if the container ships one (this sandbox does not)
@@ -127,6 +157,52 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode via the stdlib `wave` module: returns the PCM16
+    mono samples as int16. RIFF/WAV is the uncompressed standard an audio
+    pipeline's normalization stage writes; compressed codecs (mp3/opus)
+    would need ffmpeg, which this container lacks."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("expected PCM16 mono WAV")
+        raw = wf.readframes(wf.getnframes())
+    return np.frombuffer(raw, dtype=np.int16)
+
+
+def decode_y4m(payload: bytes) -> list[np.ndarray]:
+    """REAL video decode, pure stdlib: parse a YUV4MPEG2 (C444) stream —
+    space-separated header tags, then `FRAME\\n` + w*h*3 raw bytes per
+    frame. Returns the list of (h, w, 3) uint8 frames."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tag in header[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C" and tag != b"C444":
+            raise ValueError(f"unsupported chroma mode {tag!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    frames, pos, fsize = [], nl + 1, w * h * 3
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        raster = payload[fnl + 1 : fnl + 1 + fsize]
+        if len(raster) != fsize:
+            raise ValueError("truncated frame raster")
+        frames.append(np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3))
+        pos = fnl + 1 + fsize
+    return frames
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Image decode. PPM (P6) payloads decode FOR REAL via the pure-stdlib
     parser; other formats use PIL when the container ships it; the
@@ -165,9 +241,16 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
-            for payload in pdf["payload"]:
-                img = decode_image(bytes(payload), fake=fake)
-                flat = img.reshape(-1).astype(np.float64)
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
+                if kind == "audio":
+                    # real WAV decode; features over the raw sample bytes
+                    flat = decode_wav(payload).view(np.uint8).astype(np.float64)
+                elif kind == "video":
+                    # real Y4M decode; features over the FIRST frame
+                    flat = decode_y4m(payload)[0].reshape(-1).astype(np.float64)
+                else:
+                    flat = decode_image(payload, fake=fake).reshape(-1).astype(np.float64)
                 reps = int(np.ceil(FEATURE_DIM * 3 / flat.size)) if flat.size else 1
                 base = np.tile(flat, reps)[: FEATURE_DIM * 3].reshape(FEATURE_DIM, 3)
                 vecs.append((base.mean(axis=1) / 255.0).astype(np.float32).tolist())

@@ -106,3 +106,35 @@ def test_ppm_parser_handles_comments_and_rejects_garbage():
         decode_ppm(b"JFIF not a ppm")
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n3 2\n255\n" + raster[:-1])  # truncated raster
+
+
+def test_wav_and_y4m_decode_are_real(spark):
+    """Audio payloads are genuine RIFF/WAV (stdlib wave parses them); video
+    payloads are genuine YUV4MPEG2 streams — frame count and dimensions
+    must match the metadata, pixels/samples the deterministic stream."""
+    import hashlib
+
+    import numpy as np
+
+    from miru_spark.pipeline.multimodal import decode_wav, decode_y4m, synthesize_media
+
+    rows = synthesize_media(spark, n=12).select(
+        "media_id", "kind", "payload", "meta.*"
+    ).collect()
+    seen = set()
+    for r in rows:
+        seed = hashlib.md5(f"media{r['media_id']}".encode()).digest()
+        if r["kind"] == "audio":
+            samples = decode_wav(bytes(r["payload"]))
+            raw = samples.view(np.uint8).tobytes()
+            assert raw == (seed * (len(raw) // 16 + 1))[: len(raw)]
+            seen.add("audio")
+        elif r["kind"] == "video":
+            frames = decode_y4m(bytes(r["payload"]))
+            assert len(frames) == r["n_frames"]
+            assert frames[0].shape == (r["height"], r["width"], 3)
+            need = r["width"] * r["height"] * 3
+            exp = np.frombuffer((seed * (need // 16 + 1))[:need], dtype=np.uint8)
+            assert all(np.array_equal(f.reshape(-1), exp) for f in frames)
+            seen.add("video")
+    assert seen == {"audio", "video"}
