@@ -273,6 +273,38 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """REAL byte-level resize: decode each PPM image, nearest-neighbor
+    resample to fit max_side (aspect-preserving, never upscale), re-encode
+    as PPM. Map-only (mapInPandas) — blobs never shuffle; output payloads
+    are standard images any PPM reader accepts."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                h, w = img.shape[:2]
+                scale = min(max_side / w, max_side / h, 1.0)
+                tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+                ys = (np.arange(th) * (h / th)).astype(np.int64)
+                xs = (np.arange(tw) * (w / tw)).astype(np.int64)
+                small = img[ys][:, xs]
+                enc = b"P6\n%d %d\n255\n" % (tw, th) + small.tobytes()
+                out.append((int(mid), tw, th, enc))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "payload"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(rs, schema=out_schema)
+
+
 def resize_meta(media: DataFrame, max_side: int = 16) -> DataFrame:
     """Resize planning (aspect-preserving target dims) — pure JVM arithmetic;
     the byte-level resample is the stubbed decode's job."""

@@ -138,3 +138,32 @@ def test_wav_and_y4m_decode_are_real(spark):
             assert all(np.array_equal(f.reshape(-1), exp) for f in frames)
             seen.add("video")
     assert seen == {"audio", "video"}
+
+
+def test_resize_images_is_real(spark):
+    """resize_images decodes, nearest-neighbor resamples, and re-encodes a
+    valid PPM whose pixels match the index mapping."""
+    import numpy as np
+
+    from miru_spark.pipeline.multimodal import (
+        decode_ppm,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=9)
+    originals = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'image'").select("media_id", "payload").collect()
+    }
+    out = resize_images(media, max_side=8).collect()
+    assert len(out) == len(originals) > 0
+    for r in out:
+        small = decode_ppm(bytes(r["payload"]))
+        assert small.shape == (r["height"], r["width"], 3)
+        assert max(r["width"], r["height"]) <= 8
+        img = decode_ppm(originals[r["media_id"]])
+        h, w = img.shape[:2]
+        ys = (np.arange(r["height"]) * (h / r["height"])).astype(np.int64)
+        xs = (np.arange(r["width"]) * (w / r["width"])).astype(np.int64)
+        assert np.array_equal(small, img[ys][:, xs])
