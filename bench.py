@@ -90,6 +90,8 @@ def main() -> None:
         # round-2 operators
         "ft_bm25_after_delete", "ft_bm25_time_range", "ngram_jaccard_pairs",
         "strut_scores",
+        # late-round-2 training-data capstones
+        "embedding_neardup_lsh", "dedup_survivors", "training_shards",
     ]
     qmap = entry.queries()
     for name in headline:
