@@ -172,11 +172,12 @@ ORDER BY id_a, id_b
 
 def _media_oracle_sqls() -> tuple[str, str]:
     """(media_features_stats, media_frame_sample) oracles. The synthetic
-    media table is data-independent (n=120, id-derived), so the oracle
-    re-derives it: the only Python is the md5 payload digests (hash
-    constants, as in _lsh_oracle_sql); tiling, mean, float32 rounding, norm
-    and aggregation are SQL. Frame sampling reduces to pure arithmetic:
-    videos are i%3==2 with n_frames=i%8+1, sampled every 2nd frame."""
+    media table is data-independent (n=120, id-derived) and every modality
+    decodes a raster/sample stream that IS the tiled md5("media{i}")
+    digest, so both oracles are PURE SQL — DuckDB computes the md5 itself;
+    tiling, mean, float32 rounding, norm and aggregation are SQL. Frame
+    sampling reduces to pure arithmetic: videos are i%3==2 with
+    n_frames=i%8+1, sampled every 2nd frame."""
     # every modality decodes for real and its raster/sample stream IS the
     # tiled md5("media{i}") digest, so the feature bytes derive from a hash
     # DuckDB can compute itself — the oracle is now PURE SQL, no Python
@@ -262,6 +263,23 @@ def _media_features_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate dims of the REAL byte-level resize (decode → nearest-
+    neighbor → re-encode): the output dimensions are pure arithmetic over
+    the synthesized sizes, so the oracle recomputes them in SQL; the
+    pixel-level mapping is pinned by tests/test_multimodal.py."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.synthesize_media(spark, n=120, partitions=4)
+    return multimodal.resize_images(media, max_side=16).agg(
+        F.count("*").alias("n"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.max("width").alias("max_w"),
+        F.max("height").alias("max_h"),
+    )
+
+
 def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: sampled-frame counts per video."""
     from pyspark.sql import functions as F
@@ -343,10 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup with the LSH bucket as the blocking key (multiprobe) —
         # the label-free form that holds at corpus scale
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
-        # multimodal plumbing (deterministic synthetic media; decode stubbed;
-        # full oracles re-derive the id-based generation in SQL + hash consts)
+        # multimodal: deterministic synthetic media in REAL standard formats
+        # (PPM/WAV/Y4M, decoded pure-stdlib); oracles re-derive the id-based
+        # generation in pure SQL
         "media_features_stats": _media_features_stats,
         "media_frame_sample": _media_frame_sample,
+        "media_resize_stats": _media_resize_stats,
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -795,6 +815,21 @@ FROM flat GROUP BY lang ORDER BY lang
         "ivf_topk": _ivf_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
+        # resize dims are pure arithmetic over the synthesized sizes:
+        # w=32+i%32, h=32+i%16 for images (i%3=0), scale=min(16/w,16/h,1),
+        # target = ceil(dim*scale) — same ceil the planner and executor use
+        "media_resize_stats": """
+WITH img AS (
+  SELECT 32 + i % 32 AS w, 32 + i % 16 AS h
+  FROM (SELECT unnest(range(0, 120)) AS i) WHERE i % 3 = 0),
+t AS (
+  SELECT ceil(w * least(16.0 / w, 16.0 / h, 1.0))::INT AS tw,
+         ceil(h * least(16.0 / w, 16.0 / h, 1.0))::INT AS th
+  FROM img)
+SELECT count(*)::BIGINT AS n, sum(tw)::BIGINT AS sum_w, sum(th)::BIGINT AS sum_h,
+       max(tw)::INT AS max_w, max(th)::INT AS max_h
+FROM t
+""",
         "doc_fingerprints": f"""
 WITH {_TOKARR_CTE}
 SELECT lang, count(*)::BIGINT AS n_docs,

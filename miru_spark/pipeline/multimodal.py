@@ -2,13 +2,14 @@
 
 Image/audio/video are `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
-iterators over `mapInPandas`. IMAGE decode is REAL: payloads are binary
-PPM (P6) and `decode_ppm` parses the standard format pure-stdlib (header +
-raw RGB raster) — no PIL needed; PIL is used opportunistically for other
-image formats when present. Audio/video codecs (ffmpeg/librosa) are NOT in
-this container, so those decodes remain honestly stubbed behind the
-deterministic md5 stand-in. The Spark-side plumbing — schema, partition
-sizing, UDF signatures, Arrow batch shapes — is real and tested.
+iterators over `mapInPandas`. ALL THREE modalities decode for REAL over
+uncompressed standard formats, pure stdlib: images are binary PPM/P6
+(`decode_ppm`), audio is RIFF/WAV PCM16 (`decode_wav`, stdlib `wave`),
+video is YUV4MPEG2 C444 (`decode_y4m`). What stays gated is COMPRESSED
+codecs (jpeg/mp3/h264): PIL is used opportunistically when present, and
+the deterministic md5 stand-in remains for payloads this container cannot
+decode. The Spark-side plumbing — schema, partition sizing, UDF
+signatures, Arrow batch shapes — is real and tested.
 
 At 100 TB: binary payloads NEVER go through a shuffle — all transforms here
 are map-only (mapInPandas), and outputs carry only features/metadata, so
@@ -51,17 +52,14 @@ FEATURE_DIM = 16
 
 def _image_pixels(i: int, w: int, h: int) -> bytes:
     """Deterministic RGB pixel stream: md5(f"media{i}") tiled to w*h*3."""
-    seed = hashlib.md5(f"media{i}".encode()).digest()
-    need = w * h * 3
-    return (seed * (need // len(seed) + 1))[:need]
+    return _seed_bytes(i, w * h * 3)
 
 
 def synthesize_media(spark: SparkSession, n: int = 100, partitions: int = 4) -> DataFrame:
-    """Deterministic media table. IMAGE payloads are REAL binary PPM (P6)
-    files — header + raw RGB bytes — so the decode path genuinely parses a
-    standard image format with no external library. Audio/video payloads
-    stay opaque md5-derived bytes (their codecs need ffmpeg, which this
-    container lacks)."""
+    """Deterministic media table in REAL standard formats: images are
+    binary PPM (P6), audio is RIFF/WAV PCM16 (written via the stdlib
+    `wave` module), video is YUV4MPEG2 C444 — every payload genuinely
+    parses with the pure-stdlib decoders below."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,13 +179,18 @@ def decode_y4m(payload: bytes) -> list[np.ndarray]:
     if header[0] != b"YUV4MPEG2":
         raise ValueError("not a YUV4MPEG2 stream")
     w = h = None
+    chroma = None
     for tag in header[1:]:
         if tag[:1] == b"W":
             w = int(tag[1:])
         elif tag[:1] == b"H":
             h = int(tag[1:])
-        elif tag[:1] == b"C" and tag != b"C444":
-            raise ValueError(f"unsupported chroma mode {tag!r}")
+        elif tag[:1] == b"C":
+            chroma = tag
+    # the spec DEFAULT with no C tag is 4:2:0 (frame = w*h*1.5) — reject it
+    # like any other unsupported mode instead of silently sizing frames 444
+    if chroma != b"C444":
+        raise ValueError(f"unsupported chroma mode {chroma!r} (only C444)")
     if not w or not h:
         raise ValueError("missing W/H in YUV4MPEG2 header")
     frames, pos, fsize = [], nl + 1, w * h * 3
@@ -227,9 +230,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """payload → FEATURE_DIM float vector, Arrow-batched mapInPandas.
-    IMAGE payloads decode for real (PPM parser) and the feature is a mean
-    over pixel groups; audio/video use the deterministic hash stand-in for
-    their missing codecs. Batch shape and output schema are the real deal."""
+    Every modality decodes for real (PPM / WAV / Y4M parsers) and the
+    feature is a mean over decoded byte groups — a deterministic stand-in
+    for a learned encoder, computed on genuinely decoded samples/pixels.
+    ``fake`` only governs non-PPM image payloads when PIL is absent."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -294,7 +298,10 @@ def resize_images(media: DataFrame, max_side: int = 16) -> DataFrame:
                 img = decode_ppm(bytes(payload))
                 h, w = img.shape[:2]
                 scale = min(max_side / w, max_side / h, 1.0)
-                tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+                # ceil, matching resize_meta's plan EXACTLY — int() truncation
+                # made the executor emit 16x10 where the planner said 16x11
+                tw = max(int(np.ceil(w * scale)), 1)
+                th = max(int(np.ceil(h * scale)), 1)
                 ys = (np.arange(th) * (h / th)).astype(np.int64)
                 xs = (np.arange(tw) * (w / tw)).astype(np.int64)
                 small = img[ys][:, xs]
