@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,  # connected components
         "dedup_survivors": dedup.dedup_survivors,  # corpus after removal
+        "decontaminate": dedup.decontaminate,  # benchmark n-gram hygiene
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # similarity search
@@ -711,6 +712,24 @@ closure(id, r) AS (
 comp AS (SELECT id, min(r) AS cluster FROM closure GROUP BY id)
 SELECT cluster, count(*)::BIGINT AS n_members FROM comp
 GROUP BY cluster HAVING count(*) >= 2 ORDER BY cluster
+""",
+        "decontaminate": f"""
+WITH tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, lang, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, lang, toks,
+               unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+        FROM tokarr)),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, lang FROM tokarr WHERE doc_id % 50 <> 0),
+cont AS (
+  SELECT DISTINCT g.doc_id, g.lang
+  FROM g JOIN bg USING (gram) WHERE g.doc_id % 50 <> 0)
+SELECT t.lang, t.n_train_docs, coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated
+FROM (SELECT lang, count(*)::BIGINT AS n_train_docs FROM train GROUP BY lang) t
+LEFT JOIN (SELECT lang, count(*)::BIGINT AS n_contaminated FROM cont GROUP BY lang) c
+  USING (lang)
+ORDER BY lang
 """,
         "dedup_survivors": f"""
 WITH RECURSIVE {_SHINGLE_CTE},

@@ -415,3 +415,46 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = 8, bench_mod: int = 50
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any long
+    n-gram with the eval/benchmark set — the standard pre-training hygiene
+    step (distinct from near-dup removal: one verbatim quoted test question
+    contaminates a doc that is otherwise unique).
+
+    The benchmark here is the deterministic subset doc_id % bench_mod == 0
+    (stand-in for an external eval suite). Scale shape: benchmark n-grams
+    are SMALL by construction (eval suites are thousands of items, the
+    corpus is billions) → distinct-collect into a broadcast, then one
+    LEFT SEMI against the training docs' exploded n-grams — the corpus
+    never shuffles, each doc is map-side probed and flagged. Output:
+    per-lang (n_train_docs, n_contaminated)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens_col("text").alias("toks")
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    grams = F.explode(_shingle_expr(n)).alias("gram")
+    bench_grams = (
+        docs.filter(is_bench).select(grams).distinct()
+    )
+    train = docs.filter(~is_bench)
+    contaminated = (
+        train.select("doc_id", "lang", grams)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    return (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("n_train_docs"))
+        .join(
+            contaminated.groupBy("lang").agg(F.count("*").alias("n_contaminated")),
+            "lang",
+            "left",
+        )
+        .withColumn("n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)))
+        .orderBy("lang")
+    )
