@@ -90,6 +90,24 @@ def reconcile(index_dir: str) -> int:
             journal["_path"] = p
             _finish_swap(index_dir, journal)
             n += 1
+    # sweep staged _compact_* files no surviving journal references: they are
+    # orphans from a crash BEFORE their journal was written — nothing will
+    # ever promote them, so without this they accumulate forever.  Files a
+    # journal still lists stay put (rolling forward is that journal's job).
+    referenced: set[str] = set()
+    for name in os.listdir(man_dir):
+        if name.endswith(".journal"):
+            with open(os.path.join(man_dir, name)) as f:
+                for staged, _final in json.load(f)["promote"]:
+                    referenced.add(os.path.abspath(staged))
+    for sub in ("segments", "doc_meta_local"):
+        d = os.path.join(index_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for f_ in os.listdir(d):
+            p = os.path.join(d, f_)
+            if f_.startswith("_compact_") and os.path.abspath(p) not in referenced:
+                os.remove(p)
     return n
 
 

@@ -154,31 +154,38 @@ def reco_collaborative(spark: SparkSession, sf_dir: str, cust_key: int = 1) -> D
     top-N heap at the end (CollaborativeFiltering.java:129-146,205-207)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # bought appears THREE times in the query (mine / others / final); the
-    # static plan otherwise re-executes the orders⋈lineitem join + distinct
-    # for each occurrence (16 parquet scans observed). The distinct
-    # (custkey, partkey) int pairs are far smaller than the fact table —
-    # cache them once; scans drop to one pass per input table.
-    from miru_spark.functions.cache import scoped_cache
-
-    bought = scoped_cache(
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
-        .distinct(),
-        "reco_bought",
-    )
-    mine = bought.filter(F.col("custkey") == cust_key).select("partkey")
-    others = (
-        bought.join(F.broadcast(mine), "partkey", "left_semi")
-        .filter(F.col("custkey") != cust_key)
-        .select("custkey")
+    # Each hop FILTERS before it joins the fact table, so the full
+    # orders⋈lineitem distinct (the r1 plan's cost center — and, cached, the
+    # r2 regression: materializing every (custkey, partkey) pair to serve
+    # three hops that each need only a thin slice) never exists at all:
+    #   hop 1 (mine):   one customer's orders (parquet-pushed o_custkey
+    #                   filter, a handful of rows) broadcast-semi into li;
+    #   hop 2 (others): li pre-pruned map-side by broadcast(my partkeys),
+    #                   THEN joined to orders for the custkeys;
+    #   hop 3 (reco):   orders pre-pruned to the others custkeys, then one
+    #                   fact join; countDistinct dedups (custkey, partkey)
+    #                   inside the aggregate — no standalone distinct.
+    # At 100 TB every pre-join prune survives: mine is always tiny
+    # (broadcast), others/other-orders prune before the only big shuffle.
+    my_orders = orders.filter(F.col("o_custkey") == cust_key).select("o_orderkey")
+    mine = (
+        li.join(F.broadcast(my_orders), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select(F.col("l_partkey").alias("partkey"))
         .distinct()
     )
+    others = (
+        li.join(F.broadcast(mine), li["l_partkey"] == mine["partkey"], "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_custkey") != cust_key)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    other_orders = orders.join(others, orders["o_custkey"] == others["custkey"], "left_semi")
     return (
-        bought.join(others, "custkey", "left_semi")
-        .join(F.broadcast(mine), "partkey", "left_anti")  # exclude already-seen
-        .groupBy("partkey")
-        .agg(F.countDistinct("custkey").alias("score"))
+        li.join(other_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(mine), li["l_partkey"] == mine["partkey"], "left_anti")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.countDistinct("o_custkey").alias("score"))
         .orderBy(F.desc("score"), "partkey")
         .limit(10)
     )

@@ -256,6 +256,7 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     # convergence — one aggregate per round (carried forward, not
     # recomputed) replaces a join-based diff
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -279,8 +280,18 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # the exact recursive-closure oracle WOULD converge — shipping
+        # partial labels silently miscounts clusters/survivors, so fail loud
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise max_iter"
+        )
     return labels, edges
 
 

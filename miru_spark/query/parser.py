@@ -293,6 +293,29 @@ def ranges(node: Node) -> set[Range]:
     return set()
 
 
+def disjunctive_nonterm(node: Node, under_or: bool = False) -> bool:
+    """True if any Field/Range clause is OR/XOR-reachable (i.e. could be the
+    SOLE reason a doc matches).  The distributed scorer builds its candidate
+    set from posting-list hits, so a doc matched only by a Field/Range branch
+    under OR never enters the aggregation — such queries must use the serving
+    path (search_local evaluates Field/Range over the full doc set).  A
+    Field/Range under pure conjunction (or under NOT's negative side) is safe:
+    every matching doc also needs a term hit."""
+    if isinstance(node, (Field, Range)):
+        return under_or
+    if isinstance(node, (Term, Prefix)):
+        return False
+    if isinstance(node, And):
+        return any(disjunctive_nonterm(c, under_or) for c in node.children)
+    if isinstance(node, (Or, Xor)):
+        return any(disjunctive_nonterm(c, True) for c in node.children)
+    if isinstance(node, Not):
+        # negative side can only SHRINK the positive's matches — a doc still
+        # needs the positive branch, so inherit the positive's context only
+        return disjunctive_nonterm(node.positive, under_or)
+    raise TypeError(type(node))
+
+
 def required_terms(node: Node) -> set[str]:
     """Terms that MUST be present for any doc to match: AND = union of
     children's required sets, OR = intersection, NOT = required(positive).

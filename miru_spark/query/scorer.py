@@ -584,6 +584,12 @@ def search_distributed(
     """
     h = IndexHandle.open(index_dir)
     ast = qp.parse_query(query)
+    if qp.disjunctive_nonterm(ast):
+        raise ValueError(
+            "Field/Range clause is OR/XOR-reachable: the distributed path "
+            "builds candidates from posting hits and would silently drop "
+            "term-less matches — use search_local for this query shape"
+        )
     expansions = expand_prefixes(index_dir, qp.prefixes(ast))
     needed = sorted(qp.all_terms(ast) | {t for ts in expansions.values() for t in ts})
     scoring = qp.positive_terms(ast) | {

@@ -238,18 +238,26 @@ def refresh(spark: SparkSession, index_dir: str) -> dict:
             sorted({(o["repo"], o["path"], o["commit"]) for o in pending}),
         )
         applied = 0
+        unresolved: list[dict] = []
         for kind in ("remove", "repair"):
             by_version: dict[int, list[int]] = {}
             for o in pending:
                 if o["op"] != kind:
                     continue
                 ids = keymap.get((o["repo"], o["path"], o["commit"]), [])
-                if ids:  # unknown key — no-op, as in miru's WAL replay
+                if ids:
                     by_version.setdefault(int(o["version"]), []).extend(ids)
+                else:
+                    # key not indexed YET (op outran its add across drains) —
+                    # keep it journaled so a later merge that surfaces the key
+                    # still applies the version-guarded op, matching miru's
+                    # removal version guard instead of dropping it forever
+                    unresolved.append(o)
             fn = removal.remove_docs if kind == "remove" else removal.repair_docs
             for version in sorted(by_version):
                 applied += fn(index_dir, by_version[version], version)
-        _save_pending(index_dir, [])  # applied (or no-op) — clear the journal
+        _save_pending(index_dir, unresolved)  # only resolved ops leave the journal
         summary["removal_ops_applied"] = applied
+        summary["removal_ops_pending"] = len(unresolved)
     summary["n_removed"] = int(removal.removed_array(index_dir).size)
     return summary

@@ -147,10 +147,12 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         shipped.append(pid)
 
     # retire replica partitions the source no longer has (compaction folded
-    # them into a surviving pid): data files first, manifest last — the
-    # reverse of shipping, so a crash leaves a re-retireable extra, never a
-    # manifest pointing at missing bytes. Without this, a compacted source
-    # would leave the replica double-counting the folded docs.
+    # them into a surviving pid): manifest FIRST, data files after — the
+    # same delete order compaction's _finish_swap uses.  A crash between the
+    # two steps then leaves only orphan data bytes (harmless: nothing
+    # references them, and a re-ship of the same pid overwrites them), never
+    # a live manifest pointing at missing files, which would break the next
+    # merge/refresh on the replica until another sync pass re-retired it.
     retired = []
     dst_man_dir = os.path.join(dst_dir, "manifests")
     if os.path.isdir(dst_man_dir):
@@ -161,10 +163,10 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
                 dm = json.load(f)
             if dm["pid"] in src_pids:
                 continue
+            os.remove(os.path.join(dst_man_dir, n))
             for f_ in (dm["segment_file"], dm["meta_file"]):
                 if os.path.exists(f_):
                     os.remove(f_)
-            os.remove(os.path.join(dst_man_dir, n))
             progress.pop(str(dm["pid"]), None)
             _write_atomic_json(progress_path, progress)
             retired.append(dm["pid"])
