@@ -325,8 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stumptown_tail": rel.stumptown_tail,
         "trending_peaks": rel.trending_peaks,
         "reco_collaborative": rel.reco_collaborative,
-        "catwalk_model": rel.catwalk_model,  # J4 model gather
-        "strut_scores": rel.strut_scores,  # J5 broadcast-model scoring
+        "catwalk_model": rel.catwalk_model,  # J4 model gather (flat)
+        "catwalk_features": rel.catwalk_features,  # J4 full FeatureScore shape
+        "strut_scores": rel.strut_scores,  # J5 scoring over catwalk_features
         "filter_boolean": rel.filter_boolean,
         "filter_xor": rel.filter_xor,
         "time_range_count": rel.time_range_count,
@@ -574,29 +575,68 @@ SELECT event_type,
        count(*)::BIGINT AS denom
 FROM events GROUP BY 1 ORDER BY 1
 """,
+        "catwalk_features": """
+WITH docs AS (
+  SELECT user_id,
+         value > 50.0 AS is_hi,
+         EXTRACT(hour FROM ts) < 12 AS is_am,
+         event_type AS fkey0,
+         event_type || '|' || CAST(CAST(FLOOR(value / 25) AS INT) AS VARCHAR) AS fkey1
+  FROM events),
+set_hi AS (SELECT user_id FROM docs WHERE is_hi GROUP BY user_id
+           ORDER BY count(*) DESC, user_id ASC LIMIT 40),
+set_am AS (SELECT user_id FROM docs WHERE is_am GROUP BY user_id
+           ORDER BY count(*) DESC, user_id ASC LIMIT 40),
+feat AS (
+  SELECT CAST(0 AS INT) AS feature_id, fkey0 AS feature_key, user_id FROM docs
+  UNION ALL
+  SELECT CAST(1 AS INT) AS feature_id, fkey1 AS feature_key, user_id FROM docs)
+SELECT feature_id, feature_key,
+       sum(CASE WHEN user_id IN (SELECT user_id FROM set_hi) THEN 1 ELSE 0 END)::BIGINT AS num_hi,
+       sum(CASE WHEN user_id IN (SELECT user_id FROM set_am) THEN 1 ELSE 0 END)::BIGINT AS num_am,
+       count(*)::BIGINT AS denom
+FROM feat GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "strut_scores": """
-WITH model AS (
-  SELECT event_type,
-         sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS num_hi,
-         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS num_even,
+WITH docs AS (
+  SELECT user_id,
+         value > 50.0 AS is_hi,
+         EXTRACT(hour FROM ts) < 12 AS is_am,
+         event_type AS fkey0,
+         event_type || '|' || CAST(CAST(FLOOR(value / 25) AS INT) AS VARCHAR) AS fkey1
+  FROM events),
+set_hi AS (SELECT user_id FROM docs WHERE is_hi GROUP BY user_id
+           ORDER BY count(*) DESC, user_id ASC LIMIT 40),
+set_am AS (SELECT user_id FROM docs WHERE is_am GROUP BY user_id
+           ORDER BY count(*) DESC, user_id ASC LIMIT 40),
+feat AS (
+  SELECT 0 AS feature_id, fkey0 AS feature_key, user_id FROM docs
+  UNION ALL
+  SELECT 1 AS feature_id, fkey1 AS feature_key, user_id FROM docs),
+model AS (
+  SELECT feature_id, feature_key,
+         sum(CASE WHEN user_id IN (SELECT user_id FROM set_hi) THEN 1 ELSE 0 END)::BIGINT AS num_hi,
+         sum(CASE WHEN user_id IN (SELECT user_id FROM set_am) THEN 1 ELSE 0 END)::BIGINT AS num_am,
          count(*)::BIGINT AS denom
-  FROM events GROUP BY 1),
-nf AS (SELECT count(*)::DOUBLE AS n FROM model),
-uf AS (SELECT DISTINCT user_id, event_type FROM events),
+  FROM feat GROUP BY 1, 2),
+cand AS (SELECT DISTINCT user_id, feature_id, feature_key FROM feat),
+per_feat AS (
+  SELECT c.user_id, c.feature_id,
+         max(least(m.num_hi / m.denom, 1.0)) AS s_hi,
+         max(least(m.num_am / m.denom, 1.0)) AS s_am
+  FROM cand c JOIN model m USING (feature_id, feature_key)
+  GROUP BY 1, 2),
 per_user AS (
   SELECT user_id,
-         sum(CASE WHEN least(num_hi / denom, 1.0) > 0
-                  THEN least(num_hi / denom, 1.0) ELSE 0 END) / any_value(nf.n) AS t_hi,
-         sum(CASE WHEN least(num_even / denom, 1.0) > 0
-                  THEN least(num_even / denom, 1.0) ELSE 0 END) / any_value(nf.n) AS t_even
-  FROM uf JOIN model USING (event_type) CROSS JOIN nf
-  GROUP BY user_id)
-SELECT user_id, round(t_hi, 6) AS score_hi, round(t_even, 6) AS score_even,
+         sum(CASE WHEN s_hi > 0 THEN s_hi ELSE 0 END) / 2.0 AS t_hi,
+         sum(CASE WHEN s_am > 0 THEN s_am ELSE 0 END) / 2.0 AS t_am
+  FROM per_feat GROUP BY 1)
+SELECT user_id, round(t_hi, 6) AS score_hi, round(t_am, 6) AS score_am,
        round(((CASE WHEN t_hi > 0 THEN t_hi ELSE 0 END)
-            + (CASE WHEN t_even > 0 THEN t_even ELSE 0 END)) / 2.0, 6) AS score
+            + (CASE WHEN t_am > 0 THEN t_am ELSE 0 END)) / 2.0, 6) AS score
 FROM per_user
 ORDER BY round(((CASE WHEN t_hi > 0 THEN t_hi ELSE 0 END)
-              + (CASE WHEN t_even > 0 THEN t_even ELSE 0 END)) / 2.0, 6) DESC,
+              + (CASE WHEN t_am > 0 THEN t_am ELSE 0 END)) / 2.0, 6) DESC,
          user_id ASC
 LIMIT 20
 """,

@@ -317,8 +317,10 @@ def bloom_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # denominator}). Features here are event_type values; numerators are two
 # predicate counts (value>50, even user), denominator the feature's total.
 def catwalk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The model-gather half (J4): per feature, numerator/denominator counts
-    in ONE map-side-combinable pass (CatwalkQuestion's answers[] counts)."""
+    """The model-gather half (J4), simplest shape: per feature, numerator/
+    denominator counts in ONE map-side-combinable pass (CatwalkQuestion's
+    answers[] counts). ``catwalk_features`` below is the full-fidelity
+    model; this flat variant stays as the cheap single-pass entry."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -331,43 +333,170 @@ def catwalk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def strut_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    """The scoring half (J5): candidates (users) scored against the
-    BROADCAST model. Per Strut.java:200-218, each feature contributes
-    s_i = min(numerator_i/denominator, 1); finalizeScore UNIT_WEIGHTED
-    (Strut.java:367-382) averages positive feature scores over the TOTAL
-    feature count, per numerator; scaleScore (:399-407, scalars=1) repeats
-    UNIT_WEIGHTED across the numerators. Top-k (score desc, user asc).
-    The model is tiny by construction → broadcast join; candidates never
-    shuffle more than (user, feature) pairs."""
+# Catwalk definition shared by catwalk_features / strut_scores — mirrors the
+# reference's CatwalkDefinition{gatherField, features[], modelFilters[]}
+# (miru-catwalk-shared/.../CatwalkQuery.java): the gather/pivot field is
+# user_id (the candidates being modeled), two numerator model filters, two
+# feature definitions (one single-field, one composite to exercise the
+# multi-field termIds path).
+_CATWALK_TOP_N_TERMS = 40  # topNTermsPerNumerator (CatwalkQuestion.java:64)
+
+
+def _catwalk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc projection: numerator-filter flags + one key per feature.
+    Feature 0 = (event_type); feature 1 = (event_type, floor(value/25))
+    composed with '|' exactly like functions/composer.py composite terms."""
     ev = _t(spark, sf_dir, "events")
-    # materialize the tiny model ONCE: re-executing its aggregation inside
-    # the join would scan the events fact a second time
-    model_rows = catwalk_model(spark, sf_dir).collect()
-    n_features = len(model_rows)
-    model = spark.createDataFrame(
-        model_rows, "event_type string, num_hi long, num_even long, denom long"
+    return ev.select(
+        "user_id",
+        (F.col("value") > 50.0).alias("is_hi"),
+        (F.hour("ts") < 12).alias("is_am"),
+        F.col("event_type").alias("fkey0"),
+        F.concat_ws(
+            "|", "event_type", F.floor(F.col("value") / 25).cast("int").cast("string")
+        ).alias("fkey1"),
     )
-    user_feats = ev.select("user_id", "event_type").distinct()
-    s_hi = F.least(F.col("num_hi") / F.col("denom"), F.lit(1.0))
-    s_even = F.least(F.col("num_even") / F.col("denom"), F.lit(1.0))
+
+
+def _catwalk_numerator_sets(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Top-N gather-field terms per numerator filter — the reference gathers
+    each numerator's eligible docs and keeps the ``topNTermsPerNumerator``
+    most frequent pivot terms (CatwalkQuestion.java:110-155, MinMaxPriorityQueue
+    on TermIdAndCount). ONE fact scan computes both numerators' per-user
+    counts (map-side combine); the two top-N selections then run over the
+    small (user, c_hi, c_am) aggregate. Ties break (count desc, user asc).
+    The sets are bounded by a constant (40), so driver-side lists — exactly
+    the reference's in-memory numeratorTermSets — are scale-safe."""
     per_user = (
-        user_feats.join(F.broadcast(model), "event_type")
+        _catwalk_docs(spark, sf_dir)
         .groupBy("user_id")
         .agg(
-            (F.sum(F.when(s_hi > 0, s_hi).otherwise(0.0)) / n_features).alias("t_hi"),
-            (F.sum(F.when(s_even > 0, s_even).otherwise(0.0)) / n_features).alias("t_even"),
+            F.sum(F.when(F.col("is_hi"), 1).otherwise(0)).alias("c_hi"),
+            F.sum(F.when(F.col("is_am"), 1).otherwise(0)).alias("c_am"),
         )
+    )
+    from miru_spark.functions.cache import scoped_cache
+
+    per_user = scoped_cache(per_user, "catwalk_per_user")
+    sets = []
+    for c in ("c_hi", "c_am"):
+        rows = (
+            per_user.filter(F.col(c) > 0)
+            .orderBy(F.desc(c), F.asc("user_id"))
+            .limit(_CATWALK_TOP_N_TERMS)
+            .select("user_id")
+            .collect()
+        )
+        sets.append([r[0] for r in rows])
+    return sets[0], sets[1]
+
+
+def catwalk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity J4 model: FeatureScore{termIds, numerators[], denominator}
+    rows keyed by (feature_id, feature term tuple) — CatwalkQuestion.java:110-155
+    gathers per-numerator top-N pivot terms, Catwalk.java:95-205 then counts,
+    per feature value, the docs whose pivot term is in each numerator set
+    (numerators[]) and the feature value's total doc count (denominator;
+    no featureFilter mask — MiruFilter.NO_FILTER path).
+
+    Plan: two fact scans total — one map-combined aggregate for both
+    numerator term sets, one explode(2)+aggregate for all feature counts.
+    The bounded term sets ride into the scan as isin literals (no join, no
+    shuffle of the membership)."""
+    hi_ids, am_ids = _catwalk_numerator_sets(spark, sf_dir)
+    docs = _catwalk_docs(spark, sf_dir)
+    feat = docs.select(
+        "user_id",
+        "is_hi",
+        "is_am",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("feature_id"), F.col("fkey0").alias("feature_key")),
+                F.struct(F.lit(1).alias("feature_id"), F.col("fkey1").alias("feature_key")),
+            )
+        ).alias("f"),
+    ).select("user_id", "f.feature_id", "f.feature_key")
+    return (
+        feat.groupBy("feature_id", "feature_key")
+        .agg(
+            F.sum(F.when(F.col("user_id").isin(hi_ids), 1).otherwise(0)).alias("num_hi"),
+            F.sum(F.when(F.col("user_id").isin(am_ids), 1).otherwise(0)).alias("num_am"),
+            F.count("*").alias("denom"),
+        )
+        .orderBy("feature_id", "feature_key")
+    )
+
+
+# StrutModelCache analog (miru-stream-plugins/.../strut/StrutModelCache.java):
+# repeated Strut queries reuse the gathered model; keyed by the input
+# generation (sf_dir here — a rebuilt/other corpus evicts and regathers).
+_STRUT_MODEL_CACHE: dict[str, list] = {}
+
+
+def strut_model_cache_clear() -> None:
+    _STRUT_MODEL_CACHE.clear()
+
+
+def _strut_model_rows(spark: SparkSession, sf_dir: str) -> list:
+    cached = _STRUT_MODEL_CACHE.get(sf_dir)
+    if cached is None:
+        cached = catwalk_features(spark, sf_dir).collect()
+        _STRUT_MODEL_CACHE.clear()  # single-generation cache, like scoped_cache
+        _STRUT_MODEL_CACHE[sf_dir] = cached
+    return cached
+
+
+def strut_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """The scoring half (J5), consuming the full catwalk_features model.
+    Per Strut.java:200-218 each candidate feature VALUE contributes
+    s_i = min(numerator_i/denominator, 1); score() (:355-365, UNIT_WEIGHTED,
+    scalar 1) MAX-accumulates s_i across the candidate's values of the same
+    featureId; finalizeScore (:367-382) sums positive per-feature scores over
+    the TOTAL feature count; scaleScore (:399-407, numeratorScalars=1)
+    repeats UNIT_WEIGHTED across the numerators. Top-k (score desc, user asc).
+
+    The model is bounded by the feature-value vocabulary → broadcast join;
+    candidates shuffle only distinct (user, feature) pairs."""
+    n_features, n_numerators = 2, 2
+    model_rows = _strut_model_rows(spark, sf_dir)
+    model = spark.createDataFrame(
+        model_rows,
+        "feature_id int, feature_key string, num_hi long, num_am long, denom long",
+    )
+    docs = _catwalk_docs(spark, sf_dir)
+    cand = (
+        docs.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("feature_id"), F.col("fkey0").alias("feature_key")),
+                    F.struct(F.lit(1).alias("feature_id"), F.col("fkey1").alias("feature_key")),
+                )
+            ).alias("f"),
+        )
+        .select("user_id", "f.feature_id", "f.feature_key")
+        .distinct()
+    )
+    s_hi = F.least(F.col("num_hi") / F.col("denom"), F.lit(1.0))
+    s_am = F.least(F.col("num_am") / F.col("denom"), F.lit(1.0))
+    per_feat = (
+        cand.join(F.broadcast(model), ["feature_id", "feature_key"])
+        .groupBy("user_id", "feature_id")
+        .agg(F.max(s_hi).alias("s_hi"), F.max(s_am).alias("s_am"))
+    )
+    per_user = per_feat.groupBy("user_id").agg(
+        (F.sum(F.when(F.col("s_hi") > 0, F.col("s_hi")).otherwise(0.0)) / n_features).alias("t_hi"),
+        (F.sum(F.when(F.col("s_am") > 0, F.col("s_am")).otherwise(0.0)) / n_features).alias("t_am"),
     )
     score = (
         F.when(F.col("t_hi") > 0, F.col("t_hi")).otherwise(0.0)
-        + F.when(F.col("t_even") > 0, F.col("t_even")).otherwise(0.0)
-    ) / 2.0
+        + F.when(F.col("t_am") > 0, F.col("t_am")).otherwise(0.0)
+    ) / n_numerators
     return (
         per_user.select(
             "user_id",
             F.round("t_hi", 6).alias("score_hi"),
-            F.round("t_even", 6).alias("score_even"),
+            F.round("t_am", 6).alias("score_am"),
             F.round(score, 6).alias("score"),
         )
         # order on the ROUNDED score: float sum order varies per engine, so
