@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from miru_spark import analyzers as anz
 from miru_spark.analyzer import SPLIT_PATTERN
 from miru_spark.functions.composer import long_to_lex
 from miru_spark.operators import fulltext as ft
@@ -22,6 +23,12 @@ from miru_spark.pipeline import dedup, multimodal, similarity, text
 
 # ---------------------------------------------------------------- SQL snippets
 _TOKS = f"list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')"
+_EN_SW_ANALYZER = anz.find_analyzer("en", True)
+_TOK_SW_CTE = (
+    "tok AS (SELECT doc_id, unnest("
+    + _EN_SW_ANALYZER.duckdb_tokens_sql("text")
+    + ") AS term FROM documents)"
+)
 _TOK_CTE = f"tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)"
 _TOKARR_CTE = f"tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
 
@@ -32,6 +39,7 @@ def _bm25_sql(
     k: int = 10,
     langs: list[str] | None = None,
     cand_where: str | None = None,
+    tok_cte: str | None = None,
 ) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     nt_filter = f"WHERE nt = {len(terms)}" if conjunctive else ""
@@ -44,7 +52,7 @@ def _bm25_sql(
             (nt_filter + f" AND ({cand_where})") if nt_filter else f"WHERE ({cand_where})"
         )
     return f"""
-WITH {_TOK_CTE},
+WITH {tok_cte or _TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
        FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
@@ -305,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and": ft.ft_bm25_and,
         "ft_bm25_or": ft.ft_bm25_or,
         "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
+        "ft_bm25_stopworded_en": ft.ft_bm25_stopworded_en,  # Q2 locale analyzer e2e
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
         "ft_bm25_after_delete": ft.ft_bm25_after_delete,  # F5 removal mask
         "ft_bm25_time_range": ft.ft_bm25_time_range,  # S4 doc-time mask
@@ -424,6 +433,7 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_and": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
         "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
         "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
+        "ft_bm25_stopworded_en": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_CTE),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
         "ft_bm25_after_delete": _bm25_sql(
             ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 7 <> 0"

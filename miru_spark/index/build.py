@@ -203,7 +203,9 @@ def assign_doc_ids(
     return keyed.mapInPandas(add_ids, schema=out_schema), offsets
 
 
-def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict, pa.Table]:
+def _build_segment_rows(
+    pdf: pd.DataFrame, stopwords: frozenset = frozenset()
+) -> tuple[dict, dict, pa.Table]:
     """Tokenize one partition and build its posting rows.
 
     Entirely Arrow/numpy vectorized (input_hint: no per-row Python): RE2
@@ -219,6 +221,14 @@ def _build_segment_rows(pdf: pd.DataFrame) -> tuple[dict, dict, pa.Table]:
     """
     doc_ids = np.arange(len(pdf), dtype=np.int64)
     codes, vocab, parents, n_tokens = tokenize_arrow_flat(pdf["content"])
+    if stopwords:
+        # locale analyzer (Q2, analyzers.py): one isin over the SMALL vocab,
+        # then a boolean gather over the token stream — no per-token Python.
+        # doc_len counts post-stopword tokens (what BM25 normalizes by).
+        stop_mask = np.isin(vocab, sorted(stopwords))
+        keep = ~stop_mask[codes]
+        codes, parents = codes[keep], parents[keep]
+        n_tokens = codes.size
     doc_lens = np.bincount(parents, minlength=len(pdf)).astype(np.int32)
     flat_docs = doc_ids[parents]
     # (term-code, doc) -> tf via int lexsort + run-length encoding
@@ -295,7 +305,14 @@ def build_segments(
 
     Tasks for partitions whose manifest already exists (resume) emit the
     recorded manifest and skip all work — the S14/S15 checkpoint contract.
+
+    The index's analyzer config (analyzer.json, written by build_index) is
+    read HERE so streaming appends automatically tokenize with the same
+    analyzer the index was built with — the Q2 parity contract.
     """
+    from miru_spark import analyzers as anz
+
+    stopwords = anz.load(index_dir).stopwords
     seg_dir = os.path.join(index_dir, "segments")
     meta_dir = os.path.join(index_dir, "doc_meta_local")
     man_dir = os.path.join(index_dir, "manifests")
@@ -326,7 +343,7 @@ def build_segments(
                 m["status"] = "skipped"
                 yield pd.DataFrame([m])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
                 return
-        rows, stats, meta = _build_segment_rows(pdf)
+        rows, stats, meta = _build_segment_rows(pdf, stopwords)
         meta = meta.append_column("pid", pa.array([pid] * len(meta), pa.int32()))
         seg_file = os.path.join(seg_dir, f"seg_{pid}.parquet")
         meta_file = os.path.join(meta_dir, f"meta_{pid}.parquet")
@@ -391,6 +408,7 @@ def build_index(
     resume: bool = True,
     check_sha256: bool = True,
     assume_sorted: bool = False,
+    analyzer=None,
 ) -> dict:
     """End-to-end build: verify sha → key-partition → ONE content pass
     (tokenize + segments + forward index, partition-local ids) → merge
@@ -412,6 +430,17 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     register_or_check(index_dir, corpus)
+
+    # Q2 locale analyzer: record the config BEFORE building so every segment
+    # task (and later streaming appends) reads the same analyzer.json.
+    # ``analyzer`` accepts an analyzers.Analyzer or a (locale, use_stopwords)
+    # pair like the reference parser's arguments (TermAnalyzers.findAnalyzer).
+    from miru_spark import analyzers as anz
+
+    if analyzer is not None:
+        if isinstance(analyzer, tuple):
+            analyzer = anz.find_analyzer(*analyzer)
+        anz.save(index_dir, analyzer)
 
     keyed = key_partition(corpus, num_partitions, assume_sorted=assume_sorted)
     if assume_sorted:

@@ -366,6 +366,38 @@ def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_engine_topk(spark, res)
 
 
+def build_documents_index_stopworded(spark: SparkSession, sf_dir: str) -> str:
+    """Like build_documents_index but with the English stopword analyzer
+    (Q2: analyzers.find_analyzer("en", True) — the TermAnalyzers path).
+    Separate cached dir: the analyzer is part of the index identity."""
+    key = "sw:" + sf_dir
+    idx = _ENGINE_INDEX_CACHE.get(key)
+    if idx and os.path.exists(os.path.join(idx, "corpus_stats.json")):
+        return idx
+    from miru_spark.index.build import build_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(), "miru_idx_sw_v1_" + sf_dir.strip("/").replace("/", "_")
+    )
+    corpus = _docs_as_corpus(_docs(spark, sf_dir))
+    build_index(spark, corpus, idx, num_partitions=8, resume=True, analyzer=("en", True))
+    _ENGINE_INDEX_CACHE[key] = idx
+    return idx
+
+
+def ft_bm25_stopworded_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 end-to-end: index built with the en stopword analyzer; the query
+    carries stopwords ('the', 'about') that parse_query prunes with the SAME
+    analyzer. Un-pruned they'd hit the required-term short circuit (absent
+    from the stopworded dictionary) and return empty — a non-empty exact
+    match proves index- and query-side tokenization agree."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index_stopworded(spark, sf_dir)
+    res = search_distributed(spark, idx, "the merge sort about", k=10)
+    return _finish_engine_topk(spark, res)
+
+
 def ft_serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING path under the oracle gate: block-max WAND + roaring
     lang-filter bitmaps (search_local) over the real index, lang IN (en, de).

@@ -208,7 +208,11 @@ class _Neg:
     node: Node
 
 
-def parse_query(q: str) -> Node:
+def parse_query(q: str, analyzer=None) -> Node:
+    """Parse; with a stopworded ``analyzer`` (analyzers.Analyzer), prune
+    stopword Terms Lucene-style AFTER parsing — the query side of the Q2
+    index/query analyzer-parity contract (TermAnalyzers.java:120-136,
+    LuceneBackedQueryParser.java:48-53 takes (locale, useStopWords))."""
     toks = _tokenize_query(q)
     if not toks:
         raise ValueError("empty query")
@@ -216,7 +220,39 @@ def parse_query(q: str) -> Node:
     node = p.parse_or()
     if isinstance(node, _Neg):
         raise ValueError("pure-negative query not supported")
+    if analyzer is not None and analyzer.stopwords:
+        node = prune_stopwords(node, analyzer.stopwords)
+        if node is None:
+            raise ValueError("query is entirely stopwords under this analyzer")
     return node
+
+
+def prune_stopwords(node: Node, stopwords) -> Node | None:
+    """Drop stopword Term leaves, collapsing emptied boolean nodes — the
+    behavior a Lucene QueryParser built on a stopworded analyzer gives
+    (stopword clauses never enter the BooleanQuery). A Not whose positive
+    side prunes away drops entirely (its negative can only shrink it)."""
+    if isinstance(node, Term):
+        return None if node.term in stopwords else node
+    if isinstance(node, (Prefix, Field, Range)):
+        return node
+    if isinstance(node, (And, Or, Xor)):
+        kids = [prune_stopwords(c, stopwords) for c in node.children]
+        kids = [k for k in kids if k is not None]
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return type(node)(tuple(kids))
+    if isinstance(node, Not):
+        pos = prune_stopwords(node.positive, stopwords)
+        if pos is None:
+            return None
+        neg = prune_stopwords(node.negative, stopwords)
+        if neg is None:
+            return pos
+        return Not(pos, neg)
+    raise TypeError(type(node))
 
 
 def positive_terms(node: Node) -> set[str]:

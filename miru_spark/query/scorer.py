@@ -464,7 +464,9 @@ def search_local(
     removal bitmap always; ``time_range=(lo, hi)`` inclusive doc-time mask
     when the index carries a ts column."""
     h = IndexHandle.open(index_dir)
-    ast = qp.parse_query(query)
+    from miru_spark import analyzers as anz
+
+    ast = qp.parse_query(query, analyzer=anz.load(index_dir))
     expansions = expand_prefixes(index_dir, qp.prefixes(ast))
     needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
     postings = load_postings(index_dir, needed)
@@ -583,7 +585,9 @@ def search_distributed(
     decode is Catalyst-planned (hash aggregate + TakeOrderedAndProject).
     """
     h = IndexHandle.open(index_dir)
-    ast = qp.parse_query(query)
+    from miru_spark import analyzers as anz
+
+    ast = qp.parse_query(query, analyzer=anz.load(index_dir))
     if qp.disjunctive_nonterm(ast):
         raise ValueError(
             "Field/Range clause is OR/XOR-reachable: the distributed path "

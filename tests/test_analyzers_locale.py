@@ -1,0 +1,148 @@
+"""Locale/stopword analyzer registry (Q2): four-impl parity + fallback walk
++ the index/query contract (TermAnalyzers.java:43-136, EnStopwords.java)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from miru_spark import analyzers as anz
+from miru_spark.stopwords_en import EN_STOPWORDS
+
+SW_PIN = [
+    # (raw, tokens under the en-stopword analyzer)
+    ("The quick brown fox", ["quick", "brown", "fox"]),
+    ("a about above merge", ["merge"]),
+    ("merge the sort", ["merge", "sort"]),
+    ("THE THE THE", []),  # all stopwords → empty list (not an error here)
+    ("so merge merge and merge", ["merge", "merge", "merge"]),  # dups kept
+    ("don't stop", ["don"]),  # tokenizer splits "don't" → don/t; "t" IS a stopword
+]
+
+
+@pytest.fixture(scope="module")
+def en():
+    return anz.find_analyzer("en", True)
+
+
+def test_stopword_list_sane():
+    assert len(EN_STOPWORDS) > 500
+    for w in ("the", "a", "and", "of", "t"):
+        assert w in EN_STOPWORDS
+
+
+def test_fallback_walk():
+    # exact, suffix-strip, standard fallback — all per TermAnalyzers.java:120-136
+    assert anz.find_analyzer("en", True).stopwords == EN_STOPWORDS
+    assert anz.find_analyzer("en_us", True).stopwords == EN_STOPWORDS  # en_us → en
+    assert anz.find_analyzer("en_ie", True).stopwords == EN_STOPWORDS
+    # unknown locale → STOPWORD_STANDARD_ANALYZER carries the English set
+    assert anz.find_analyzer("zz", True).stopwords == EN_STOPWORDS
+    assert anz.find_analyzer(None, True).stopwords == EN_STOPWORDS
+    # use_stopwords=False → empty set for every locale
+    assert anz.find_analyzer("en", False).stopwords == frozenset()
+    assert anz.find_analyzer("zz", False).stopwords == frozenset()
+
+
+def test_register_custom_locale():
+    anz.register_stopwords("xx", ["foo", "bar"])
+    try:
+        a = anz.find_analyzer("xx_yy", True)
+        assert a.stopwords == frozenset({"foo", "bar"})
+        assert a.tokenize_one("foo baz bar qux") == ["baz", "qux"]
+    finally:
+        anz._STOPWORD_SETS.pop("xx", None)
+
+
+def test_python_impl(en):
+    for raw, expected in SW_PIN:
+        assert en.tokenize_one(raw) == expected, raw
+    s = pd.Series([r for r, _ in SW_PIN])
+    assert en.tokenize_pandas(s).tolist() == [e for _, e in SW_PIN]
+
+
+def test_spark_impl(spark, en):
+    df = spark.createDataFrame([(r,) for r, _ in SW_PIN], "content string")
+    got = [r["t"] for r in df.select(en.tokens_col("content").alias("t")).collect()]
+    assert got == [e for _, e in SW_PIN]
+
+
+def test_duckdb_impl(en):
+    con = duckdb.connect()
+    con.execute("create table t(content varchar)")
+    con.executemany("insert into t values (?)", [(r,) for r, _ in SW_PIN])
+    got = [
+        r[0]
+        for r in con.execute(f"select {en.duckdb_tokens_sql('content')} from t").fetchall()
+    ]
+    assert got == [e for _, e in SW_PIN]
+
+
+def test_arrow_vocab_mask(en):
+    from miru_spark.analyzer import tokenize_arrow_flat
+
+    s = pd.Series([r for r, _ in SW_PIN])
+    codes, vocab, parents, _ = tokenize_arrow_flat(s)
+    keep = ~en.stop_mask_for_vocab(vocab)[codes]
+    per_row = [[] for _ in range(len(s))]
+    for c, p in zip(codes[keep], parents[keep]):
+        per_row[p].append(vocab[c])
+    assert per_row == [e for _, e in SW_PIN]
+
+
+def test_index_and_query_side_agree(spark, tmp_path):
+    """Build with analyzer=('en', True): stopwords never reach the
+    dictionary, doc_len counts post-stopword tokens, and query-side parsing
+    prunes the same words — the end-to-end Q2 contract."""
+    from miru_spark.corpus import generate_corpus
+    from miru_spark.index.build import build_index
+    from miru_spark.query.scorer import load_postings, search_local
+
+    corpus = generate_corpus(spark, n_rows=150, seed=7, partitions=2)
+    plain_idx = str(tmp_path / "plain")
+    sw_idx = str(tmp_path / "sw")
+    build_index(spark, corpus, plain_idx, num_partitions=2)
+    build_index(spark, corpus, sw_idx, num_partitions=2, analyzer=("en", True))
+
+    # 'the' exists in the code corpus and the plain dictionary, not in sw's
+    assert load_postings(plain_idx, {"the"})
+    assert not load_postings(sw_idx, {"the"})
+
+    plain = search_local(plain_idx, "merge AND sort", k=10)
+    sw_plainq = search_local(sw_idx, "merge AND sort", k=10)
+    sw_stopq = search_local(sw_idx, "the merge AND sort", k=10)
+    # query-side pruning: adding a stopword changes nothing on the sw index
+    assert sw_plainq["doc_id"].tolist() == sw_stopq["doc_id"].tolist()
+    assert sw_plainq["score"].tolist() == sw_stopq["score"].tolist()
+    # the same query against the PLAIN index requires the literal 'the'
+    assert len(plain) > 0
+    # stopword removal changes doc_len → scores genuinely differ
+    assert plain["score"].tolist() != sw_plainq["score"].tolist()
+
+    with pytest.raises(ValueError, match="entirely stopwords"):
+        search_local(sw_idx, "the a about", k=10)
+
+
+def test_streaming_append_inherits_analyzer(spark, tmp_path):
+    """build_segments reads analyzer.json — a streaming append into a
+    stopworded index tokenizes with the index's analyzer, not the default."""
+    import os
+
+    from miru_spark.corpus import generate_corpus
+    from miru_spark.index.build import build_index, build_segments, key_partition
+    from miru_spark.index.merge import merge_segments
+    from miru_spark.query.scorer import load_postings
+
+    corpus = generate_corpus(spark, n_rows=80, seed=11, partitions=1)
+    idx = str(tmp_path / "sw2")
+    build_index(spark, corpus, idx, num_partitions=2, analyzer=("en", True))
+    more = generate_corpus(spark, n_rows=40, seed=12, partitions=1)
+    # mimic the streaming append path: extra pids through build_segments
+    from pyspark.sql import functions as F
+
+    keyed = key_partition(more.drop("sha256"), 1).withColumn(
+        "_pid", F.col("_pid") + F.lit(2)
+    )
+    build_segments(keyed, idx, resume=False).collect()
+    merge_segments(spark, idx)
+    assert not load_postings(idx, {"the"})  # appended segments also stopworded
