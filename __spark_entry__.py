@@ -76,6 +76,41 @@ QUALIFY rank <= {k} ORDER BY rank
 _STOPWORDS_SQL = "['" + "', '".join(text.STOPWORDS) + "']"
 
 
+def _highlights_sql() -> str:
+    """ft_highlights oracle: same fixed-window fragmenter/scorer re-spec the
+    Spark side computes (see operators/fulltext.py ft_highlights docstring)."""
+    bm25 = _bm25_sql(ft.QUERY_TERMS, conjunctive=True)
+    counts = " + ".join(
+        f"len(list_filter(regexp_split_to_array(lower(frag), '{SPLIT_PATTERN}'), x -> x = '{t}'))"
+        for t in ft.QUERY_TERMS
+    )
+    pat = "\\b(" + "|".join(ft.QUERY_TERMS) + ")\\b"
+    nf = ft.HIGHLIGHT_PREVIEW // ft.FRAGMENT_SIZE
+    return f"""
+WITH top AS (SELECT doc_id, rank FROM ({bm25})),
+fr AS (
+  SELECT t.doc_id, t.rank, gs.i AS fi,
+         substr(d.text, gs.i * {ft.FRAGMENT_SIZE} + 1, {ft.FRAGMENT_SIZE}) AS frag
+  FROM top t
+  JOIN documents d USING (doc_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, {nf - 1})) AS i) gs
+  WHERE gs.i * {ft.FRAGMENT_SIZE} < least(len(d.text), {ft.HIGHLIGHT_PREVIEW})),
+scored AS (
+  SELECT doc_id, rank, fi, frag, {counts} AS hits FROM fr),
+chosen AS (
+  SELECT doc_id, rank, fi, hits,
+         regexp_replace(frag, '{pat}', '<b>\\1</b>', 'g') AS marked,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, fi ASC) AS rn
+  FROM scored WHERE hits > 0),
+agg AS (
+  SELECT doc_id, string_agg(marked, ' ... ' ORDER BY hits DESC, fi ASC) AS h
+  FROM chosen WHERE rn <= {ft.MAX_FRAGMENTS} GROUP BY doc_id)
+SELECT t.doc_id, t.rank, coalesce(a.h, '') AS highlights
+FROM top t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.rank
+"""
+
+
 def _lang_id_sql() -> str:
     branches = "\nUNION ALL\n".join(
         f"SELECT doc_id, lang, '{lang}' AS cand, "
@@ -314,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_or": ft.ft_bm25_or,
         "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
         "ft_bm25_stopworded_en": ft.ft_bm25_stopworded_en,  # Q2 locale analyzer e2e
+        "ft_highlights": ft.ft_highlights,  # Q3 best-4-fragment highlighter
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
         "ft_bm25_after_delete": ft.ft_bm25_after_delete,  # F5 removal mask
         "ft_bm25_time_range": ft.ft_bm25_time_range,  # S4 doc-time mask
@@ -434,6 +470,7 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
         "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
         "ft_bm25_stopworded_en": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_CTE),
+        "ft_highlights": _highlights_sql(),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
         "ft_bm25_after_delete": _bm25_sql(
             ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 7 <> 0"

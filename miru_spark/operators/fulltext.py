@@ -21,6 +21,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from miru_spark.analyzer import tokens_col
 from miru_spark.functions.cache import scoped_cache
@@ -414,6 +415,90 @@ def ft_serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sort_values(["score", "doc_id"], ascending=False, kind="mergesort")
     res["rank"] = range(1, len(res) + 1)
     return spark.createDataFrame(res[["doc_id", "score", "rank"]], schema)
+
+
+FRAGMENT_SIZE = 100  # Lucene SimpleFragmenter(100)
+MAX_FRAGMENTS = 4  # getBestFragments(..., 4, " ... ")
+HIGHLIGHT_PREVIEW = 600  # hg.setMaxDocCharsToAnalyze(preview)
+
+
+def ft_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 multi-fragment highlighter (LuceneBackedQueryParser.java:56-74):
+    for the BM25 top-10 of `merge AND sort`, the best 4 scoring fragments,
+    query terms wrapped <b>..</b> (SimpleHTMLFormatter's defaults), joined
+    by " ... " in score order (Lucene returns best fragments score-desc).
+
+    Deterministic re-spec of Lucene's fragmenter so both engines compute it
+    exactly: fragments are fixed 100-char windows over the first
+    ``HIGHLIGHT_PREVIEW`` chars (SimpleFragmenter aligns to token
+    boundaries; fixed windows are the exact-oracle analog), scored by query-
+    term token occurrences, tie-broken by fragment position. Docs whose
+    matches all fall past the preview get '' (the reference returns null).
+
+    Plan shape: top-k (10 rows) joins the docs table broadcast-style, the
+    fragment explode is bounded (≤6/doc), and the rank window partitions by
+    doc_id over those ≤6 rows — nothing here scales with corpus size beyond
+    the already-bounded top-k."""
+    docs = _docs(spark, sf_dir)
+    top = ft_bm25_and(spark, sf_dir)  # doc_id, score, rank
+    n_frags = HIGHLIGHT_PREVIEW // FRAGMENT_SIZE
+    j = top.select("doc_id", "rank").join(docs.select("doc_id", "text"), "doc_id")
+    frags = j.select(
+        "doc_id",
+        "rank",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(n_frags - 1))).alias("fi"),
+    ).filter(
+        F.col("fi") * FRAGMENT_SIZE
+        < F.least(F.length("text"), F.lit(HIGHLIGHT_PREVIEW))
+    )
+    frag = F.substring(F.col("text"), F.col("fi") * FRAGMENT_SIZE + 1, FRAGMENT_SIZE)
+    toks = F.filter(
+        F.split(F.lower(frag), "[^a-z0-9_]+"), lambda t: t != F.lit("")
+    )
+
+    def _count(term):  # factory: close over term (2-arg lambda = (elem, idx))
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    hits = sum(_count(t) for t in QUERY_TERMS)
+    pat = r"\b(" + "|".join(QUERY_TERMS) + r")\b"
+    marked = F.regexp_replace(frag, pat, "<b>$1</b>")
+    scored = (
+        frags.select(
+            "doc_id", "rank", "fi", hits.alias("hits"), marked.alias("marked")
+        )
+        .filter(F.col("hits") > 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("fi"))
+            ),
+        )
+        .filter(F.col("rn") <= MAX_FRAGMENTS)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ... ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("hits")).alias("nh"),
+                            F.col("fi").alias("fi"),
+                            F.col("marked").alias("m"),
+                        )
+                    )
+                ),
+                lambda x: x["m"],
+            ),
+        ).alias("highlights")
+    )
+    return (
+        top.select("doc_id", "rank")
+        .join(agg, "doc_id", "left")
+        .select("doc_id", "rank", F.coalesce("highlights", F.lit("")).alias("highlights"))
+        .orderBy("rank")
+    )
 
 
 def ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
