@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stumptown_tail": rel.stumptown_tail,
         "trending_peaks": rel.trending_peaks,
         "reco_collaborative": rel.reco_collaborative,
+        "bloom_prune_join": rel.bloom_prune_join,  # J6 real bloom pre-join pruning
         "catwalk_model": rel.catwalk_model,  # J4 model gather (flat)
         "catwalk_features": rel.catwalk_features,  # J4 full FeatureScore shape
         "strut_scores": rel.strut_scores,  # J5 scoring over catwalk_features
@@ -614,6 +615,12 @@ FROM bought
 WHERE custkey IN (SELECT custkey FROM others)
   AND partkey NOT IN (SELECT partkey FROM mine)
 GROUP BY partkey ORDER BY score DESC, partkey LIMIT 10
+""",
+        "bloom_prune_join": """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 495000.0)
+GROUP BY 1 ORDER BY 1
 """,
         "catwalk_model": """
 SELECT event_type,

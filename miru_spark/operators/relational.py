@@ -297,8 +297,9 @@ def anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J6: bloom-accelerated containment (BloomIndex.java:75-131) → isin /
-# broadcast IN-list (Spark also exposes df.stat.bloomFilter for huge lists).
+# --- J6 small-list degenerate case: when the "bloom" side is a handful of
+# literals, an IN-list beats any filter structure — the real bloom path
+# (bounded-size bitmap + map-side probe) is bloom_prune_join above.
 def bloom_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     return (
@@ -306,6 +307,34 @@ def bloom_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
         .orderBy("p_brand", "p_type")
+    )
+
+
+# --- J6 full fidelity: REAL bloom pruning before the join (the
+# BloomIndex.mightContain role, BloomIndex.java:75-131) — see
+# functions/bloom.py for the build/probe kernels.
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one very-high-value order, per market
+    segment. The bloom over the (selective) build side's custkeys prunes
+    the customer probe MAP-SIDE before the only shuffle; the exact semi
+    join then removes bloom false positives, so the result is identical to
+    the unpruned plan (the oracle never sees the bloom)."""
+    from miru_spark.functions.bloom import build_bloom, might_contain_col
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 495000.0)
+        .select("o_custkey")
+    )
+    n_build = orders.count()  # tiny aggregate over the pushed-down scan
+    bloom = build_bloom(orders, "o_custkey", expected_items=max(n_build, 1), fpp=0.01)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pruned = cust.filter(might_contain_col(F.col("c_custkey"), bloom, spark))
+    return (
+        pruned.join(orders, pruned["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
     )
 
 
