@@ -189,6 +189,34 @@ FROM s QUALIFY rank <= {k} ORDER BY rank
 """
 
 
+def _lsh_ann_batch_oracle_sql(
+    query_ids=(0, 1, 2, 3, 4, 5, 6, 7), k: int = 5, n_planes: int = 8
+) -> str:
+    """lsh_ann_batch oracle: the single-query LSH SQL parameterized over N
+    query ids — probes carried per query, per-query exact re-rank."""
+    bucket = _lsh_bucket_expr_sql(n_planes)
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    probe_union = "\nUNION ALL\n".join(
+        f"SELECT qid, qv, xor(qb, {1 << j}) AS p FROM q" for j in range(n_planes)
+    )
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], p.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(p.qv, p.qv)))"
+    )
+    return f"""
+WITH enc AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, bucket AS qb
+      FROM enc WHERE vec_id IN ({qlist})),
+probes AS (SELECT qid, qv, qb AS p FROM q UNION ALL {probe_union}),
+s AS (
+  SELECT p.qid AS query_id, e.vec_id, e.label, round({cos}, 6) AS cosine
+  FROM probes p JOIN enc e ON e.bucket = p.p AND e.vec_id <> p.qid)
+SELECT query_id, vec_id, label, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM s QUALIFY rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _lsh_neardup_oracle_sql(n_planes: int = 8, threshold: float = 0.4) -> str:
     """embedding_neardup_lsh oracle: bucket every vector, expand the probe
     side to own bucket + hamming-1 neighbors, equi-join probes against
@@ -406,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
         "lsh_ann_topk": similarity.lsh_ann_topk,  # the bucketed scale path
+        "lsh_ann_batch": similarity.lsh_ann_batch,  # batched-query ANN serving
         # near-dup with the LSH bucket as the blocking key (multiprobe) —
         # the label-free form that holds at corpus scale
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
@@ -924,6 +953,7 @@ FROM flat GROUP BY lang ORDER BY lang
 """,
         "lsh_bucket_stats": _lsh_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "lsh_ann_batch": _lsh_ann_batch_oracle_sql(),
         "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],

@@ -186,6 +186,67 @@ def embedding_neardup_lsh(
     return _pair_cosine(a, b, "bucket", threshold)
 
 
+BATCH_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
+
+
+def lsh_ann_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple = BATCH_QUERY_IDS,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Batched LSH ANN: N query vectors answered in ONE job — the 100-TB
+    serving shape (lsh_ann_topk runs one driver-round-trip job per query).
+
+    The query side (bounded: N rows) explodes to its own-bucket +
+    hamming-1 probes and BROADCASTS into the corpus scan, so the corpus is
+    read once, pruned map-side to probed buckets, and candidate rows carry
+    their query id. Per-query top-k is a window over query_id — the shuffle
+    is (pruned candidates) keyed by query, the natural serving partition.
+    Norms are hoisted to the join inputs (computed once per vector, not per
+    pair). Each (query, candidate) pair arises from exactly one bucket, so
+    no dedup exchange exists."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_col(n_planes))
+    emb = emb.withColumn("nb", _norm(F.col("embedding")))
+    q = emb.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nb").alias("nq"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        "nq",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+            )
+        ).alias("probe"),
+    )
+    cand = emb.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (F.col("nb") * F.col("nq"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        "vec_id",
+        "label",
+        F.round(cos, 6).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _lsh_bucket_col(n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (sign bits from deterministic
     md5-of-literal planes — Catalyst folds the hashes at plan time)."""

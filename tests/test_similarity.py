@@ -22,6 +22,28 @@ def test_ivf_recall_against_bruteforce(spark, sfdir):
     assert full == exact
 
 
+def test_lsh_ann_batch_matches_per_query(spark, sfdir):
+    """The batched form is the per-query form fused into one job: for every
+    query id it must return exactly lsh_ann_topk's rows (same buckets, same
+    probes, same rank tie-break)."""
+    from miru_spark.pipeline.similarity import lsh_ann_batch, lsh_ann_topk
+
+    qids = (0, 3, 7)
+    batch = lsh_ann_batch(spark, sfdir, query_ids=qids, k=5).collect()
+    by_query = {}
+    for r in batch:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["label"], r["cosine"], r["rank"])
+        )
+    assert set(by_query) == set(qids)
+    for qid in qids:
+        single = [
+            (r["vec_id"], r["label"], r["cosine"], r["rank"])
+            for r in lsh_ann_topk(spark, sfdir, query_vec_id=qid, k=5).collect()
+        ]
+        assert by_query[qid] == single, f"batch diverges from single for qid={qid}"
+
+
 def test_lsh_buckets_nontrivial(spark, sfdir):
     from miru_spark.pipeline.similarity import lsh_bucket_stats
 
