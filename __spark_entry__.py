@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from miru_spark import analyzers as anz
 from miru_spark.analyzer import SPLIT_PATTERN
 from miru_spark.functions.composer import long_to_lex
+from miru_spark.operators import feature_cache
 from miru_spark.operators import fulltext as ft
 from miru_spark.operators import relational as rel
 from miru_spark.pipeline import dedup, multimodal, similarity, text
@@ -408,6 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_time": rel.topk_time,
         "topn_per_group": rel.topn_per_group,
         "gather_features": rel.gather_features,
+        # A3 full fidelity: lastScoredId incremental cache — split ingestion
+        # through the persisted cache must hash-match the one-shot SQL oracle
+        "gather_features_cached": feature_cache.gather_features_cached,
         "semi_join_orders": rel.semi_join_orders,
         "anti_join_orders": rel.anti_join_orders,
         "bloom_containment": rel.bloom_containment,
@@ -751,6 +755,11 @@ SELECT event_type, user_id, n,
 FROM c QUALIFY rank <= 3 ORDER BY event_type, rank
 """,
         "gather_features": """
+SELECT event_type, user_id % 10 AS user_bucket, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # the incremental cache must converge to exactly the one-shot aggregate
+        "gather_features_cached": """
 SELECT event_type, user_id % 10 AS user_bucket, count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
