@@ -92,12 +92,25 @@ def main() -> None:
         "strut_scores",
         # late-round-2 training-data capstones
         "embedding_neardup_lsh", "dedup_survivors", "training_shards",
+        # round-3 operators: full Catwalk feature model, stopworded BM25,
+        # multi-fragment highlighting, bloom-pruned join, batched ANN
+        # serving, incremental gatherFeatures cache
+        "catwalk_features", "ft_bm25_stopworded_en", "ft_highlights",
+        "bloom_prune_join", "lsh_ann_topk", "lsh_ann_batch",
+        "gather_features_cached",
     ]
     qmap = entry.queries()
     for name in headline:
         t0 = time.perf_counter()
         qmap[name](spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
+
+    # Strut model cache warm path (StrutModelCache analog): a second
+    # strut_scores in the same session reuses the generation-keyed model
+    # rows, measuring rescoring without the model gather
+    t0 = time.perf_counter()
+    qmap["strut_scores"](spark, sf_dir).collect()
+    queries["strut_scores_warm"] = round(time.perf_counter() - t0, 4)
 
     total = time.perf_counter() - t_total0
     print(json.dumps({

@@ -191,16 +191,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang would re-run the regex split 5x (measured ~4x slower)
     docs = _docs(spark, sf_dir).select("lang", tokens_col("text").alias("toks"))
     toks = F.col("toks")
-    # deterministic argmax over langs: fold with strict > so ties keep the
-    # lexicographically-first lang (matches the oracle's argmax rule)
-    pred = F.lit(None).cast("string")
-    best_hits = F.lit(-1)
-    for lang in sorted(LANG_MARKERS):
+    # deterministic argmax over langs as ONE array_max over (hits, -index)
+    # structs: each lang's hits expression appears exactly once in the plan.
+    # A when-chain fold here embeds lang k's hits inside every later branch
+    # (~3^k copies once CollapseProject inlines them) — measured 244 s vs
+    # 33 s at 1M docs for semantically identical output. struct max = max
+    # hits, then max(-i) = min index = lexicographically-first lang, the
+    # same tie rule the oracle's argmax uses.
+    langs = sorted(LANG_MARKERS)
+    def _hits(lang: str):
         arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_position(arr, t) > 0))
-        take = hits > best_hits  # strict > keeps the first (lexicographic) on ties
-        pred = F.when(take, F.lit(lang)).otherwise(pred)
-        best_hits = F.when(take, hits).otherwise(best_hits)
+        return F.size(F.filter(toks, lambda t: F.array_position(arr, t) > 0))
+    cand = F.array(
+        *[F.struct(_hits(l).alias("h"), F.lit(-i).alias("ni")) for i, l in enumerate(langs)]
+    )
+    best = F.array_max(cand)
+    pred = F.element_at(F.array(*[F.lit(l) for l in langs]), -best["ni"] + 1)
     return (
         docs.select("lang", pred.alias("lang_pred"))
         .groupBy("lang", "lang_pred")
