@@ -48,6 +48,13 @@ def main() -> None:
     from miru_spark.operators.fulltext import _docs, _docs_as_corpus
     from miru_spark.query.scorer import search_local
 
+    # host weather report: this shared-host VM has episodes where co-tenant
+    # pressure cuts memory bandwidth >10x with no guest-visible signal
+    # (tools/host_probe.py); stamping the probe into the bench JSON lets a
+    # reader tell a real regression from a degraded-host artifact.
+    from tools.host_probe import probe
+    bw_pre = probe()
+
     queries: dict[str, float] = {}
     t_total0 = time.perf_counter()
 
@@ -124,6 +131,8 @@ def main() -> None:
         "bm25_p50_ms": round(float(np.percentile(lat, 50)), 2),
         "bm25_p95_ms": round(float(np.percentile(lat, 95)), 2),
         "cpus": cpus,
+        "host_bw_gbps_pre": bw_pre["bw_gbps"],
+        "host_bw_gbps_post": probe()["bw_gbps"],
     }))
     spark.stop()
 

@@ -39,6 +39,7 @@ sys.path.insert(0, REPO)
 
 from miru_spark.corpus import _gen_rows  # noqa: E402
 from miru_spark.session import get_spark  # noqa: E402
+from tools.host_probe import BW_HEALTHY_GBPS, probe  # noqa: E402
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -126,6 +127,12 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, fn in resolve_ops(args.ops):
+        # host weather BEFORE each op: this shared-host VM has episodes where
+        # co-tenant pressure cuts memory bandwidth >10x with zero guest-side
+        # signal (no steal, CPU "busy"); identical Spark jobs measured 40 s
+        # healthy vs 798 s degraded. A timing row taken under a bad probe is
+        # labeled so it is never transcribed into BASELINE.md as a real number.
+        pre = probe()
         t0 = time.perf_counter()
         # persist-then-count, NOT a bare count(): count() lets Catalyst
         # legally eliminate cardinality-preserving branches (decontaminate's
@@ -141,8 +148,17 @@ def main() -> None:
         # accumulates pinned 1M-doc relations until the heap thrashes
         # (measured: minhash 453 s after training_shards' cache vs 40 s clean)
         spark.catalog.clearCache()
-        results[name] = {"wall_sec": round(wall, 1), "rows": rows}
-        print(f"# {name}: {wall:.1f}s rows={rows}", flush=True)
+        post = probe()
+        bw = min(pre["bw_gbps"], post["bw_gbps"])
+        results[name] = {
+            "wall_sec": round(wall, 1),
+            "rows": rows,
+            "bw_gbps_pre": pre["bw_gbps"],
+            "bw_gbps_post": post["bw_gbps"],
+            "host_degraded": bw < BW_HEALTHY_GBPS,
+        }
+        flag = " [HOST DEGRADED]" if bw < BW_HEALTHY_GBPS else ""
+        print(f"# {name}: {wall:.1f}s rows={rows} bw={pre['bw_gbps']}/{post['bw_gbps']}{flag}", flush=True)
 
     payload = {
         "docs": args.docs,
