@@ -74,6 +74,23 @@ QUALIFY rank <= {k} ORDER BY rank
 """
 
 
+def _bm25_batch_sql() -> str:
+    """ft_bm25_batch oracle: UNION ALL of the per-query BM25 SQL, one branch
+    per ft.BATCH_QUERIES entry (same term lists / conjunctive flags the
+    query strings parse to)."""
+    specs = [
+        (["merge", "sort"], True),  # "merge AND sort"
+        (["vector", "window", "stream"], False),  # "vector OR window OR stream"
+        (["merge", "sort"], False),  # "merge OR sort"
+        (["sort"], False),  # "sort"
+    ]
+    assert len(specs) == len(ft.BATCH_QUERIES)
+    return "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, doc_id, score, rank FROM ({_bm25_sql(terms, conj)})"
+        for qid, (terms, conj) in enumerate(specs)
+    )
+
+
 _STOPWORDS_SQL = "['" + "', '".join(text.STOPWORDS) + "']"
 
 
@@ -380,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_stopworded_en": ft.ft_bm25_stopworded_en,  # Q2 locale analyzer e2e
         "ft_highlights": ft.ft_highlights,  # Q3 best-4-fragment highlighter
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
+        "ft_bm25_batch": ft.ft_bm25_batch,  # N queries, ONE posting scan (search_batch)
         "ft_bm25_after_delete": ft.ft_bm25_after_delete,  # F5 removal mask
         "ft_bm25_time_range": ft.ft_bm25_time_range,  # S4 doc-time mask
         "ft_snippets": ft.ft_snippets,
@@ -506,6 +524,7 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_stopworded_en": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_CTE),
         "ft_highlights": _highlights_sql(),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
+        "ft_bm25_batch": _bm25_batch_sql(),
         "ft_bm25_after_delete": _bm25_sql(
             ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 7 <> 0"
         ),

@@ -514,3 +514,31 @@ def ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", snippet.alias("snippet"))
         .orderBy("rank")
     )
+
+
+BATCH_QUERIES = [
+    "merge AND sort",
+    "vector OR window OR stream",
+    "merge OR sort",
+    "sort",
+]
+
+
+def ft_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving: FOUR query strings answered in ONE job over ONE
+    posting scan (`search_batch` — the lsh_ann_batch treatment applied to
+    BM25; miru analog: many MiruRequests solved against one shared index
+    context rather than re-opening per question). Queries 0/2/3 share the
+    {merge, sort} postings — the batch decodes them once and fans the rows
+    out per query via a broadcast (query_id, term) table. Oracle: UNION ALL
+    of the per-query BM25 SQL."""
+    from miru_spark.query.scorer import search_batch
+
+    idx = build_documents_index(spark, sf_dir)
+    res = search_batch(spark, idx, BATCH_QUERIES, k=10)
+    return res.select(
+        "query_id",
+        F.substring("path", 5, 10).cast("long").alias("doc_id"),
+        "score",
+        "rank",
+    )

@@ -285,6 +285,16 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     edges = star.unionAll(
         star.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).cache()
+    return _min_label_iterate(edges, max_iter), edges
+
+
+def _min_label_iterate(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a symmetric (id_a, id_b) edge DataFrame via
+    min-label propagation WITH pointer doubling. Returns the cached labels
+    DataFrame (id, label = component min); the caller unpersists both.
+
+    Separated from the LSH plumbing so the iteration itself is unit-testable
+    on explicit graphs (tests/test_batch_search.py path-graph case)."""
     # localCheckpoint each round TRUNCATES LINEAGE — without it the labels
     # plan references (edges ⋈ previous labels) recursively, the logical
     # tree doubles per round, and at 1M docs (deeper graphs → more rounds)
@@ -311,17 +321,39 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
             .groupBy("id_a")
             .agg(F.min("nl").alias("minn"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh.withColumnRenamed("id_a", "id"), "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias("label"),
+            )
+            # checkpointed because it feeds the shortcut join TWICE (left side
+            # + label->label mapping) — without this the edge join runs twice
+            # per round
+            .localCheckpoint()
+        )
+        # pointer doubling (union-find path halving): l(v) <- l(l(v)).
+        # Star edges shrank the edge list from cliques to O(bands*N) but grew
+        # the graph DIAMETER — a doc in two buckets bridges their hubs, so a
+        # min label crosses each bridge in 2 hops and plain neighbor-min
+        # propagation went from 2-4 rounds (cliques) to >20 at 1M docs
+        # (measured: the r3 sweep failed loud here). Shortcutting through the
+        # label mapping itself (labels are node ids, label(v) <= v, so
+        # label(label(v)) <= label(v)) makes each round compose mappings —
+        # O(log diameter) rounds total; 20 covers diameter 2^20.
+        short = stepped.select(F.col("id").alias("label"), F.col("label").alias("ll"))
+        new_labels = (
+            stepped.join(short, "label", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
             )
             .localCheckpoint()  # eager: materialized before old labels release
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         # release the previous round's checkpoint storage — without this,
         # up to max_iter full label copies stay pinned until driver GC
+        stepped.unpersist()
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
@@ -337,7 +369,7 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
             f"label propagation did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise max_iter"
         )
-    return labels, edges
+    return labels
 
 
 def dedup_survivors(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:

@@ -694,3 +694,176 @@ def search_distributed(
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)
     )
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """N queries answered in ONE job over ONE posting scan.
+
+    The per-query form of ``search_distributed`` pays a full Spark job —
+    scan + decode + shuffle + driver round-trip — per query string; serving
+    a query LOG that way re-reads the index N times. This is the batched
+    throughput path (the ``lsh_ann_batch`` treatment applied to BM25;
+    reference analog: miru answers many MiruRequests against ONE shared
+    request context/index handle rather than re-opening the index per
+    question, MiruService solve loop):
+
+    - driver: parse each query, expand prefixes, probe required terms
+      against the dictionary (the AND short-circuit — provably-empty
+      queries never reach the cluster);
+    - cluster: one term-pushdown scan covering the UNION of all live
+      queries' terms, one vectorized posting decode, one removal anti-join,
+      then a broadcast (query_id, term, scoring) fan-out so each decoded
+      posting row feeds every query that wants its term;
+    - one (query_id, doc_id) aggregation; per-query AST filters applied as
+      a flat CASE over query_id (each AST condition appears exactly once —
+      plan size linear in N, see CLAUDE.md on when-chain blowup);
+    - per-query top-k via row_number over the (score desc, doc_id desc)
+      tie order on the 6-dp-rounded score.
+
+    The index is read once regardless of N; adding a query whose terms
+    overlap an existing one costs only its broadcast fan-out rows.
+    Restrictions match ``search_distributed``: Field/Range clauses must not
+    be OR/XOR-reachable (candidates are posting-hit-based).
+
+    Returns (query_id int, doc_id long, score double, rank int, repo, path,
+    commit, lang) — doc_id is the ENGINE docID; callers map to their own
+    ids from ``path`` as usual.
+    """
+    h = IndexHandle.open(index_dir)
+    from miru_spark import analyzers as anz
+
+    analyzer = anz.load(index_dir)
+    out_schema = (
+        "query_id int, doc_id long, score double, rank int, "
+        "repo string, path string, commit string, lang string"
+    )
+
+    live: list[tuple[int, object, dict]] = []  # (qid, ast, expansions)
+    union_needed: set[str] = set()
+    all_required: set[str] = set()
+    parsed = []
+    for qid, q in enumerate(queries):
+        ast = qp.parse_query(q, analyzer=analyzer)
+        if qp.disjunctive_nonterm(ast):
+            raise ValueError(
+                f"query {qid!r}: Field/Range clause is OR/XOR-reachable — "
+                "use search_local for this query shape"
+            )
+        parsed.append((qid, ast))
+        all_required |= qp.required_terms(ast)
+
+    # one dictionary probe for every required term of every query
+    present: set[str] = set()
+    if all_required:
+        ds = _dataset(index_dir, "stats")
+        present = set(
+            ds.to_table(
+                columns=["term"], filter=pads.field("term").isin(sorted(all_required))
+            ).column("term").to_pylist()
+        )
+    for qid, ast in parsed:
+        if qp.required_terms(ast) - present:
+            continue  # a required conjunct is absent → provably empty
+        expansions = expand_prefixes(index_dir, qp.prefixes(ast))
+        needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
+        if not needed:
+            continue
+        union_needed |= needed
+        live.append((qid, ast, expansions))
+    if not live:
+        return spark.createDataFrame([], out_schema)
+
+    # (query_id, term, scoring) fan-out table — tiny, broadcast
+    qt_rows = []
+    for qid, ast, expansions in live:
+        scoring = qp.positive_terms(ast) | {
+            t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
+        }
+        needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
+        for t in sorted(needed):
+            qt_rows.append((qid, t, t in scoring))
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string, scoring boolean")
+
+    merged = (
+        spark.read.parquet(os.path.join(index_dir, "merged"))
+        .select("term", "docids", "tfs")
+        .filter(F.col("term").isin(sorted(union_needed)))
+    )
+
+    def explode_postings(batches):
+        for pdf in batches:
+            for term, db, tb in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
+                d, tf = decode_postings(db, tb)
+                yield pd.DataFrame({"term": term, "doc_id": d, "tf": tf.astype(np.int32)})
+
+    hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
+
+    removed = removal.removed_array(index_dir)
+    if removed.size:
+        rdf = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
+        hits = hits.join(F.broadcast(rdf), "doc_id", "left_anti")
+
+    stats = (
+        spark.read.parquet(os.path.join(index_dir, "stats"))
+        .filter(F.col("term").isin(sorted(union_needed)))
+        .select("term", "df")
+        .withColumn(
+            "idf", F.log((F.lit(h.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+    )
+
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    has_ts = "ts" in meta.columns
+    meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
+        ["ts"] if has_ts else []
+    )
+
+    scored = (
+        hits.join(F.broadcast(qt), "term")  # fan out each posting row per interested query
+        .join(F.broadcast(stats), "term")
+        .join(meta.select(*meta_cols), "doc_id")
+        .withColumn(
+            "contrib",
+            F.when(
+                F.col("scoring"),
+                F.col("idf")
+                * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / h.avgdl)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    aggs = [
+        F.collect_set("term").alias("mts"),
+        F.sum("contrib").alias("score"),
+        F.first("repo").alias("repo"),
+        F.first("path").alias("path"),
+        F.first("commit").alias("commit"),
+        F.first("lang").alias("lang"),
+    ]
+    if has_ts:
+        aggs.append(F.first("ts").alias("ts"))
+    agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
+
+    # flat CASE over query_id: each query's AST condition appears exactly once
+    cond = F.lit(False)
+    for qid, ast, expansions in live:
+        cond = F.when(F.col("query_id") == qid, _ast_to_condition(ast, expansions)).otherwise(
+            cond
+        )
+    out = agg.filter(cond).withColumn("score", F.round(F.col("score"), 6))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score", "rank", "repo", "path", "commit", "lang"
+        )
+    )

@@ -1,0 +1,70 @@
+"""search_batch: N queries in ONE job must be rank-identical to N separate
+search_distributed jobs, and the pointer-doubling label propagation must
+converge on high-diameter graphs that defeat plain neighbor-min."""
+
+import pytest
+
+from miru_spark.corpus import reference_query_set
+from miru_spark.query.scorer import search_batch, search_distributed
+
+
+def test_batch_matches_per_query_distributed(tiny_index, spark):
+    qs = [x for x in reference_query_set() if x["qid"] in (1, 3, 5, 6, 7)]
+    queries = [x["query"] for x in qs]
+    batch = search_batch(spark, tiny_index, queries, k=10).toPandas()
+    for qid, x in enumerate(qs):
+        exp = search_distributed(spark, tiny_index, x["query"], k=10).toPandas()
+        exp["score"] = exp["score"].round(6)
+        exp = exp.sort_values(["score", "doc_id"], ascending=False, kind="mergesort")
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), x["query"]
+        assert got["score"].tolist() == pytest.approx(exp["score"].tolist(), abs=1e-6)
+        assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_batch_skips_provably_empty_and_unknown_queries(tiny_index, spark):
+    out = search_batch(
+        spark, tiny_index, ["zzznothere AND merge", "merge AND sort"], k=5
+    ).toPandas()
+    # query 0 has an absent required conjunct -> contributes no rows at all
+    assert set(out["query_id"]) == {1}
+    assert len(out) == 5
+
+
+def test_batch_rejects_disjunctive_nonterm(tiny_index, spark):
+    with pytest.raises(ValueError):
+        search_batch(spark, tiny_index, ["merge OR lang:python"], k=5)
+
+
+def test_label_propagation_converges_on_path_graph(spark):
+    """A PATH graph of length 500 has diameter 500: plain neighbor-min needs
+    ~500 rounds (the wall the r3 1M sweep hit when star edges grew the LSH
+    graph's diameter past 20). Pointer doubling must close it in <= 20
+    rounds (2^20 >> 500) and label every node with the component min."""
+    from miru_spark.pipeline.dedup import _min_label_iterate
+
+    n = 500
+    half = [(i, i + 1) for i in range(n)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "id_a long, id_b long"
+    ).cache()
+    labels = _min_label_iterate(edges, max_iter=20)
+    got = labels.toPandas()
+    labels.unpersist()
+    edges.unpersist()
+    assert len(got) == n + 1
+    assert (got["label"] == 0).all()
+
+
+def test_label_propagation_two_components(spark):
+    from miru_spark.pipeline.dedup import _min_label_iterate
+
+    half = [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "id_a long, id_b long"
+    ).cache()
+    labels = _min_label_iterate(edges, max_iter=20)
+    got = {int(r["id"]): int(r["label"]) for r in labels.collect()}
+    labels.unpersist()
+    edges.unpersist()
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 13: 10}
