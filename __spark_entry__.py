@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text.quality_scores,
         "training_shards": text.training_shards,  # quality filter → token-budget shards
         "lang_id": text.lang_id,
+        "stratified_split": text.stratified_split,  # deterministic hash train/val/test
+        "ngram_repetition": text.ngram_repetition,  # within-doc dup-shingle quality signal
         "doc_fingerprints": text.doc_fingerprints,
         "winnow_fingerprints": text.winnow_fingerprints,  # MOSS rolling hash
     }
@@ -962,6 +964,32 @@ SELECT lang, (cum // 20000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
 FROM s GROUP BY lang, shard ORDER BY lang, shard
 """,
         "lang_id": _lang_id_sql(),
+        "stratified_split": f"""
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5('split#' || doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bkt,
+         len({_TOKS}) AS nt
+  FROM documents)
+SELECT lang,
+       CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "ngram_repetition": f"""
+WITH tokarr AS (SELECT lang, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT lang,
+         greatest(len(toks) - 2, 0) AS n3,
+         CASE WHEN len(toks) >= 3 THEN
+           len(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                            i -> array_to_string(toks[i:i+2], ' '))))
+         ELSE 0 END AS nd
+  FROM tokarr),
+r AS (SELECT lang, round((n3 - nd) * 1000000.0 / greatest(n3, 1))::BIGINT AS rep_ppm FROM g)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(rep_ppm)::BIGINT AS sum_rep_ppm,
+       sum(CASE WHEN rep_ppm >= 200000 THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+FROM r GROUP BY 1 ORDER BY 1
+""",
         "winnow_fingerprints": f"""
 WITH tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 hs AS (

@@ -105,6 +105,8 @@ def main() -> None:
         "catwalk_features", "ft_bm25_stopworded_en", "ft_highlights",
         "bloom_prune_join", "lsh_ann_topk", "lsh_ann_batch",
         "gather_features_cached",
+        # batched BM25 serving: 4 queries, ONE posting scan (search_batch)
+        "ft_bm25_batch",
     ]
     qmap = entry.queries()
     for name in headline:

@@ -278,3 +278,75 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+def stratified_split(
+    spark: SparkSession, sf_dir: str, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(lang, split) audit.
+
+    The split a 100 TB training pipeline actually needs: membership is a
+    pure function of doc_id (salted 48-bit md5 bucket mod 100 — the same
+    DuckDB-parity hash the dedup family uses), so it is reproducible across
+    runs, stable under repartitioning, and MAP-ONLY — no shuffle to assign,
+    and the audit aggregation groups on ~(langs × 3) keys. Never sample with
+    rand(): re-runs and stragglers' task retries would flip membership.
+    Token counts are integer sums (order-insensitive — safe to repartition).
+    """
+    docs = _docs(spark, sf_dir)
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bkt < train_pct, "train")
+        .when(bkt < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), F.size(tokens_col("text")).alias("nt"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").cast("long").alias("n_tokens"))
+        .orderBy("lang", "split")
+    )
+
+
+def ngram_repetition(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Within-doc n-gram repetition (the Gopher-style quality signal): the
+    fraction of a doc's 3-token shingles that are repeats of an earlier
+    shingle in the SAME doc. Boilerplate/spam pages score high; prose
+    scores near zero.
+
+    Plan: one scan, all-JVM array expressions (tokens materialized once,
+    shingles via the shared `_shingle_expr`), per-doc arithmetic, one tiny
+    per-lang aggregate. The per-doc fraction is emitted as integer PPM
+    (round((n3-nd)*1e6/n3)) so the per-lang sum is order-insensitive and
+    the >= 20% threshold is an INTEGER compare on both engines — no float
+    threshold window (CLAUDE.md round-then-compare rule)."""
+    from miru_spark.pipeline.dedup import _shingle_expr
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang", tokens_col("text").alias("toks")
+    ).select("lang", _shingle_expr(n).alias("grams"))
+    n3 = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    rep_ppm = F.round((n3 - nd) * F.lit(1000000.0) / F.greatest(n3, F.lit(1))).cast("long")
+    return (
+        per_doc.select("lang", rep_ppm.alias("rep_ppm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("rep_ppm").cast("long").alias("sum_rep_ppm"),
+            F.sum(F.when(F.col("rep_ppm") >= 200000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
