@@ -191,7 +191,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``distinct``. Each banded row therefore CARRIES its full signature array
     through the self-join and the estimate is computed inline on the joined
     row — the previous form distinct-ed the bare pairs and then re-joined
-    the signature table twice, i.e. two more full-pair-relation shuffles."""
+    the signature table twice, i.e. two more full-pair-relation shuffles.
+    Measured at 10M docs: 1.52B pairs in 1217 s (BENCH_SWEEP_10M.json).
+
+    100-TB guidance: the pair RELATION is inherently quadratic in
+    duplicate-group size (99.5× the rows for 10× the docs on a dup-rich
+    corpus) — use this as the audit/debug view; pipelines that only need
+    components/survivors should use ``dedup_clusters``/``dedup_survivors``,
+    which never materialize pairs (star edges)."""
     docs = _docs(spark, sf_dir)
     sig = scoped_cache(
         minhash_signatures(docs).withColumn(

@@ -1,0 +1,56 @@
+"""stratified_split / ngram_repetition invariants beyond the value-hash gate."""
+
+import pyspark.sql.functions as F
+
+
+def _write_docs(spark, path, n=300, partitions=4):
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} tok{i % 7} tok{i % 7} tok{i % 3} tok{i % 5}", "en" if i % 2 else "de", "s", 40)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(partitions).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_split_stable_across_partitionings(spark, tmp_path):
+    """Membership is a pure function of doc_id: the per-group audit must be
+    identical whether the table arrives in 1 file or 16 (a rand()-based
+    split would differ run-to-run and retry-to-retry)."""
+    from miru_spark.pipeline.text import stratified_split
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_docs(spark, a, partitions=1)
+    _write_docs(spark, b, partitions=16)
+    ra = [tuple(r) for r in stratified_split(spark, a).collect()]
+    rb = [tuple(r) for r in stratified_split(spark, b).collect()]
+    assert ra == rb
+    # rough proportions: train is the large bucket in every lang
+    per_lang = {}
+    for lang, split, n_docs, _ in ra:
+        per_lang.setdefault(lang, {})[split] = n_docs
+    for lang, d in per_lang.items():
+        assert d["train"] > d.get("val", 0) + d.get("test", 0), (lang, d)
+
+
+def test_ngram_repetition_flags_repeats(spark, tmp_path):
+    """A doc made of one repeated shingle scores ~1e6 ppm; an all-distinct
+    doc scores 0 — and both land in the right threshold bucket."""
+    from miru_spark.pipeline.text import ngram_repetition
+
+    sf = str(tmp_path)
+    rows = [
+        (0, "a b c " * 20, "en", "s", 10),  # one shingle repeated
+        (1, " ".join(f"w{i}" for i in range(30)), "en", "s", 10),  # all distinct
+        (2, "x y", "en", "s", 3),  # fewer than 3 tokens -> 0 ppm
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = ngram_repetition(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3
+    assert r["n_repetitive"] == 1  # only doc 0 crosses 20%
+    # doc 0: 58 shingles, 3 distinct -> (58-3)/58 ≈ 948276 ppm
+    assert 940000 < r["sum_rep_ppm"] < 960000
