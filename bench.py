@@ -107,6 +107,8 @@ def main() -> None:
         "gather_features_cached",
         # batched BM25 serving: 4 queries, ONE posting scan (search_batch)
         "ft_bm25_batch",
+        # deterministic split + within-doc repetition quality signal
+        "stratified_split", "ngram_repetition",
     ]
     qmap = entry.queries()
     for name in headline:

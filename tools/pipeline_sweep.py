@@ -102,6 +102,8 @@ def resolve_ops(names: list[str]):
         "lang_id": text.lang_id,
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
+        "stratified_split": text.stratified_split,
+        "ngram_repetition": text.ngram_repetition,
     }
     return [(n, registry[n]) for n in names]
 
