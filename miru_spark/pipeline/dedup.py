@@ -295,10 +295,14 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     return _min_label_iterate(edges, max_iter), edges
 
 
-def _min_label_iterate(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _min_label_iterate(
+    edges: DataFrame, max_iter: int = 20, diag: dict | None = None
+) -> DataFrame:
     """Connected components over a symmetric (id_a, id_b) edge DataFrame via
     min-label propagation WITH pointer doubling. Returns the cached labels
     DataFrame (id, label = component min); the caller unpersists both.
+    Pass ``diag={}`` to capture {"rounds": n} — the O(log diameter) claim is
+    observable, not asserted.
 
     Separated from the LSH plumbing so the iteration itself is unit-testable
     on explicit graphs (tests/test_batch_search.py path-graph case)."""
@@ -319,7 +323,9 @@ def _min_label_iterate(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # recomputed) replaces a join-based diff
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             edges.join(
                 labels.select(F.col("id").alias("id_b"), F.col("label").alias("nl")),
@@ -367,6 +373,8 @@ def _min_label_iterate(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             converged = True
             break
         prev_sum = new_sum
+    if diag is not None:
+        diag["rounds"] = rounds
     if not converged:
         # the exact recursive-closure oracle WOULD converge — shipping
         # partial labels silently miscounts clusters/survivors, so fail loud

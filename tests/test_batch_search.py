@@ -48,12 +48,16 @@ def test_label_propagation_converges_on_path_graph(spark):
     edges = spark.createDataFrame(
         half + [(b, a) for a, b in half], "id_a long, id_b long"
     ).cache()
-    labels = _min_label_iterate(edges, max_iter=20)
+    diag = {}
+    labels = _min_label_iterate(edges, max_iter=20, diag=diag)
     got = labels.toPandas()
     labels.unpersist()
     edges.unpersist()
     assert len(got) == n + 1
     assert (got["label"] == 0).all()
+    # pointer doubling: ~log2(500) + slack, nowhere near the 500 rounds
+    # plain neighbor-min would need
+    assert diag["rounds"] <= 12, diag
 
 
 def test_label_propagation_two_components(spark):
