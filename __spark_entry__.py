@@ -76,19 +76,59 @@ QUALIFY rank <= {k} ORDER BY rank
 
 def _bm25_batch_sql() -> str:
     """ft_bm25_batch oracle: UNION ALL of the per-query BM25 SQL, one branch
-    per ft.BATCH_QUERIES entry (same term lists / conjunctive flags the
-    query strings parse to)."""
-    specs = [
-        (["merge", "sort"], True),  # "merge AND sort"
-        (["vector", "window", "stream"], False),  # "vector OR window OR stream"
-        (["merge", "sort"], False),  # "merge OR sort"
-        (["sort"], False),  # "sort"
-    ]
-    assert len(specs) == len(ft.BATCH_QUERIES)
+    per ft.BATCH_QUERIES entry. Term lists / conjunctive flags are DERIVED
+    from parse_query over the same strings search_batch parses, so a drift
+    in BATCH_QUERIES fails loudly here instead of as a downstream gate
+    hash mismatch."""
+    from miru_spark.query import parser as qp
+
+    specs: list[tuple[list[str], bool]] = []
+    for q in ft.BATCH_QUERIES:
+        ast = qp.parse_query(q)
+        if isinstance(ast, qp.Term):
+            specs.append(([ast.term], False))
+        elif isinstance(ast, (qp.And, qp.Or)) and all(
+            isinstance(c, qp.Term) for c in ast.children
+        ):
+            specs.append(([c.term for c in ast.children], isinstance(ast, qp.And)))
+        else:
+            raise ValueError(f"BATCH_QUERIES entry {q!r} is not a flat term query")
     return "\nUNION ALL\n".join(
         f"SELECT {qid} AS query_id, doc_id, score, rank FROM ({_bm25_sql(terms, conj)})"
         for qid, (terms, conj) in enumerate(specs)
     )
+
+
+def _or_timerange_sql() -> str:
+    """ft_bm25_or_timerange oracle: `dup OR ts:[0 TO 9]` over the engine
+    corpus (ts = doc_id % 100). Docs containing 'dup' carry their BM25
+    score; in-range docs WITHOUT a term hit enter at 0.0 (the engine's
+    doc_meta termless branch); rank = (rounded score desc, doc_id desc)."""
+    lo, hi = ft.OR_RANGE_TS
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+hits AS (SELECT * FROM tf WHERE term = '{ft.RARE_TERM}'),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         sum(ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (h.tf * 2.2) / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))) AS s
+  FROM hits h JOIN dfs f USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY h.doc_id),
+unioned AS (
+  SELECT doc_id, s FROM scored
+  UNION ALL
+  SELECT d.doc_id, 0.0 AS s FROM documents d
+  WHERE d.doc_id % 100 BETWEEN {lo} AND {hi}
+    AND d.doc_id NOT IN (SELECT doc_id FROM scored))
+SELECT doc_id, round(s, 6) AS score,
+       row_number() OVER (ORDER BY round(s, 6) DESC, doc_id DESC) AS rank
+FROM unioned QUALIFY rank <= {ft.OR_RANGE_K} ORDER BY rank
+"""
 
 
 _STOPWORDS_SQL = "['" + "', '".join(text.STOPWORDS) + "']"
@@ -400,6 +440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_batch": ft.ft_bm25_batch,  # N queries, ONE posting scan (search_batch)
         "ft_bm25_after_delete": ft.ft_bm25_after_delete,  # F5 removal mask
         "ft_bm25_time_range": ft.ft_bm25_time_range,  # S4 doc-time mask
+        # OR-reachable Range clause → doc_meta candidate branch unioned into
+        # the distributed path (MiruAggregateUtil.java:1098-1241 uniformity)
+        "ft_bm25_or_timerange": ft.ft_bm25_or_timerange,
+        # mustNots-only query → pButNotQ(all, q) inclusiveFilter=true
+        # (LuceneBackedQueryParser.java:139-141), served via search_local
+        "ft_not_only": ft.ft_not_only,
         "ft_snippets": ft.ft_snippets,
         "ft_tfidf_miru": ft.ft_tfidf_miru,
         "ft_term_stats": ft.ft_term_stats,
@@ -533,6 +579,15 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_time_range": _bm25_sql(
             ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 100 BETWEEN 0 AND 49"
         ),
+        "ft_bm25_or_timerange": _or_timerange_sql(),
+        "ft_not_only": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, 0.0::DOUBLE AS score,
+       row_number() OVER (ORDER BY doc_id DESC) AS rank
+FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{ft.RARE_TERM}')
+QUALIFY rank <= 10 ORDER BY rank
+""",
         "ft_snippets": f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

@@ -516,6 +516,48 @@ def ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_TERM = "dup"  # df ≈ 5% of docs at every SF — scored hits don't fill k,
+OR_RANGE_TS = (0, 9)  # so the doc_meta (termless) branch's 0.0-score docs
+OR_RANGE_K = 40  # must enter the top-k for the gate to pass
+
+
+def ft_bm25_or_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over `dup OR ts:[0 TO 9]` — a Range clause that is OR-reachable,
+    so a doc can match with ZERO term hits. The distributed path unions its
+    posting-hit branch with a doc_meta forward-index scan (docs satisfying
+    the AST with an empty matched-terms set, entering at score 0.0) — the
+    Spark form of the reference's uniform full-index-mask filter evaluation
+    (MiruAggregateUtil.java:1098-1241). k=40 > df('dup') forces both
+    branches into the result: ranks 1..~25 are scored `dup` docs, the tail
+    is in-range termless docs ordered (0.0, doc_id desc)."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index(spark, sf_dir)
+    q = f"{RARE_TERM} OR ts:[{OR_RANGE_TS[0]} TO {OR_RANGE_TS[1]}]"
+    res = search_distributed(spark, idx, q, k=OR_RANGE_K)
+    return _finish_engine_topk(spark, res)
+
+
+def ft_not_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-negative query `NOT dup` — miru wraps mustNots-only queries as
+    pButNotQ(all, q) with inclusiveFilter=true
+    (LuceneBackedQueryParser.java:139-141): the full index mask ANDNOT the
+    negative set, non-scored. Served through search_local (All → index mask
+    in _eval_ast); top-10 is (score 0.0, doc_id desc)."""
+    from miru_spark.query.scorer import search_local
+
+    idx = build_documents_index(spark, sf_dir)
+    res = search_local(idx, f"NOT {RARE_TERM}", k=10, gather=True)
+    schema = "doc_id long, score double, rank int"
+    if len(res) == 0:
+        return spark.createDataFrame([], schema)
+    res = res.assign(
+        doc_id=res["path"].str[4:14].astype("int64"), score=res["score"].round(6)
+    ).sort_values(["score", "doc_id"], ascending=False, kind="mergesort")
+    res["rank"] = range(1, len(res) + 1)
+    return spark.createDataFrame(res[["doc_id", "score", "rank"]], schema)
+
+
 BATCH_QUERIES = [
     "merge AND sort",
     "vector OR window OR stream",

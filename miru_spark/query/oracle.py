@@ -34,9 +34,10 @@ def _ast_condition(node, matched_terms_col, expansions):
         if not terms:
             return F.lit(False)
         return F.arrays_overlap(matched_terms_col, F.array(*[F.lit(t) for t in terms]))
+    if isinstance(node, qp.All):
+        return F.lit(True)
     if isinstance(node, qp.Field):
-        # evaluated after the meta join (lang/repo columns present); note:
-        # a query with ONLY field clauses has no term hits and is engine-only
+        # evaluated after the meta join (lang/repo columns present)
         return F.col(node.field) == node.value
     if isinstance(node, qp.Range):
         # ts:[lo TO hi] — requires a ts column on the corpus relation
@@ -93,7 +94,8 @@ def oracle_topk(
     scoring = qp.positive_terms(ast) | {
         t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
     }
-    if not needed:
+    termless = qp.can_match_termless(ast)
+    if not needed and not termless:
         return spark.createDataFrame(
             [], "doc_id long, score double, repo string, path string, commit string, lang string"
         )
@@ -123,6 +125,19 @@ def oracle_topk(
     )
     out = per_doc.join(corpus_with_ids.select(*meta_cols), "doc_id")
     out = out.filter(_ast_condition(ast, F.col("mts"), expansions))
+    if termless:
+        # forward-table candidate branch (same semantics as the engine's
+        # doc_meta branch): docs matching the AST with zero term hits, at
+        # score 0.0; docs with any hit were decided above with their true mts
+        extra = (
+            corpus_with_ids.select(*meta_cols)
+            .withColumn("mts", F.array().cast("array<string>"))
+            .filter(_ast_condition(ast, F.col("mts"), expansions))
+            .withColumn("score", F.lit(0.0))
+            .join(per_doc.select("doc_id"), "doc_id", "left_anti")
+        )
+        cols = ["doc_id", "score"] + meta_cols[1:]
+        out = out.select(*cols).unionByName(extra.select(*cols))
     if lang_filter:
         out = out.filter(F.col("lang").isin(lang_filter))
     if repo_filter:

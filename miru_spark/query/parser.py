@@ -67,6 +67,15 @@ class Xor:
     children: tuple = field(default_factory=tuple)
 
 
+@dataclass(frozen=True)
+class All:
+    """Match-all: the full index mask (miru's buildIndexMask,
+    MiruBitmapsRoaring.java:457-505). Produced for mustNots-only queries —
+    the reference wraps them as pButNotQ(all, q) with inclusiveFilter=true
+    (LuceneBackedQueryParser.java:139-141) — and usable anywhere a termless
+    branch needs 'every live doc'. Non-scored."""
+
+
 RANGE_FIELDS = ("ts",)
 
 
@@ -159,8 +168,11 @@ class _Parser:
         negatives = [p.node for p in parts if isinstance(p, _Neg)]
         pos: Node
         if not positives:
-            raise ValueError("pure-negative query not supported (matches everything)")
-        pos = positives[0] if len(positives) == 1 else And(tuple(positives))
+            # mustNots-only: all docs minus q — pButNotQ(all, q) with
+            # inclusiveFilter=true (LuceneBackedQueryParser.java:139-141)
+            pos = All()
+        else:
+            pos = positives[0] if len(positives) == 1 else And(tuple(positives))
         for n in negatives:
             pos = Not(pos, n)
         return pos
@@ -218,8 +230,6 @@ def parse_query(q: str, analyzer=None) -> Node:
         raise ValueError("empty query")
     p = _Parser(toks)
     node = p.parse_or()
-    if isinstance(node, _Neg):
-        raise ValueError("pure-negative query not supported")
     if analyzer is not None and analyzer.stopwords:
         node = prune_stopwords(node, analyzer.stopwords)
         if node is None:
@@ -234,7 +244,7 @@ def prune_stopwords(node: Node, stopwords) -> Node | None:
     side prunes away drops entirely (its negative can only shrink it)."""
     if isinstance(node, Term):
         return None if node.term in stopwords else node
-    if isinstance(node, (Prefix, Field, Range)):
+    if isinstance(node, (Prefix, Field, Range, All)):
         return node
     if isinstance(node, (And, Or, Xor)):
         kids = [prune_stopwords(c, stopwords) for c in node.children]
@@ -246,9 +256,11 @@ def prune_stopwords(node: Node, stopwords) -> Node | None:
         return type(node)(tuple(kids))
     if isinstance(node, Not):
         pos = prune_stopwords(node.positive, stopwords)
-        if pos is None:
-            return None
         neg = prune_stopwords(node.negative, stopwords)
+        if pos is None:
+            # all positive clauses were stopwords: Lucene's BooleanQuery is
+            # left with the MUST_NOTs only → the mustNots-only wrap again
+            return None if neg is None else Not(All(), neg)
         if neg is None:
             return pos
         return Not(pos, neg)
@@ -261,7 +273,7 @@ def positive_terms(node: Node) -> set[str]:
     positive filter context, MiruAggregateUtil.java:1149,1204-1220)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Prefix, Field, Range)):
+    if isinstance(node, (Prefix, Field, Range, All)):
         return set()
     if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
@@ -276,7 +288,7 @@ def positive_terms(node: Node) -> set[str]:
 def all_terms(node: Node) -> set[str]:
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Prefix, Field, Range)):
+    if isinstance(node, (Prefix, Field, Range, All)):
         return set()
     if isinstance(node, (And, Or, Xor)):
         out: set[str] = set()
@@ -329,26 +341,28 @@ def ranges(node: Node) -> set[Range]:
     return set()
 
 
-def disjunctive_nonterm(node: Node, under_or: bool = False) -> bool:
-    """True if any Field/Range clause is OR/XOR-reachable (i.e. could be the
-    SOLE reason a doc matches).  The distributed scorer builds its candidate
-    set from posting-list hits, so a doc matched only by a Field/Range branch
-    under OR never enters the aggregation — such queries must use the serving
-    path (search_local evaluates Field/Range over the full doc set).  A
-    Field/Range under pure conjunction (or under NOT's negative side) is safe:
-    every matching doc also needs a term hit."""
-    if isinstance(node, (Field, Range)):
-        return under_or
+def can_match_termless(node: Node) -> bool:
+    """True if a doc with ZERO term/prefix hits could still match — i.e. the
+    AST evaluated with every Term/Prefix leaf forced False is satisfiable
+    structurally. Such queries need a forward-index (doc_meta) candidate
+    branch in addition to posting hits: the distributed/batch scorers union
+    a meta scan filtered by the same AST condition (the reference evaluates
+    field filters and subfilters uniformly against full index masks,
+    MiruAggregateUtil.java:1098-1241, so it has no such asymmetry).
+
+    Term/Prefix can't match termlessly; Field/Range/All can; And needs every
+    child to; Or/Xor need one; Not needs its positive side to (the negative
+    side only shrinks)."""
+    if isinstance(node, (Field, Range, All)):
+        return True
     if isinstance(node, (Term, Prefix)):
         return False
     if isinstance(node, And):
-        return any(disjunctive_nonterm(c, under_or) for c in node.children)
+        return all(can_match_termless(c) for c in node.children)
     if isinstance(node, (Or, Xor)):
-        return any(disjunctive_nonterm(c, True) for c in node.children)
+        return any(can_match_termless(c) for c in node.children)
     if isinstance(node, Not):
-        # negative side can only SHRINK the positive's matches — a doc still
-        # needs the positive branch, so inherit the positive's context only
-        return disjunctive_nonterm(node.positive, under_or)
+        return can_match_termless(node.positive)
     raise TypeError(type(node))
 
 
@@ -360,7 +374,7 @@ def required_terms(node: Node) -> set[str]:
     (MiruAggregateUtil.java:1143, 1175-1177)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, (Prefix, Field, Range)):
+    if isinstance(node, (Prefix, Field, Range, All)):
         return set()
     if isinstance(node, And):
         out: set[str] = set()

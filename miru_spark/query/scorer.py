@@ -277,6 +277,10 @@ def _setdiff_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
     if isinstance(node, qp.Term):
         return postings.get(node.term, (np.empty(0, dtype=np.int64),))[0]
+    if isinstance(node, qp.All):
+        # full index mask (buildIndexMask, MiruBitmapsRoaring.java:457-505);
+        # removal/time masks compose on top in search_local as usual
+        return np.sort(np.asarray(_docmeta(index_dir)["doc_id"].values, dtype=np.int64))
     if isinstance(node, qp.Field):
         # field filter clause → its roaring bitmap, decoded as a doc set
         return load_filter_set(index_dir, node.field, [node.value])
@@ -531,9 +535,15 @@ _POSTING_ROW_SCHEMA = T.StructType(
 
 
 def _ast_to_condition(node, expansions) -> F.Column:
-    """AST → boolean Column over the per-doc matched-terms set column `mts`."""
+    """AST → boolean Column over the per-doc matched-terms set column `mts`.
+
+    Evaluating the SAME condition over a row whose `mts` is the empty array
+    yields the query's termless-match predicate — the doc_meta candidate
+    branch reuses this directly (see search_distributed)."""
     if isinstance(node, qp.Term):
         return F.array_contains("mts", node.term)
+    if isinstance(node, qp.All):
+        return F.lit(True)
     if isinstance(node, qp.Field):
         return F.col(node.field) == node.value  # doc_meta column carried through the agg
     if isinstance(node, qp.Range):
@@ -583,24 +593,28 @@ def search_distributed(
     joins doc lengths, sums BM25 contributions per doc, evaluates the query
     AST as a boolean filter, and takes the global top-k. Everything after the
     decode is Catalyst-planned (hash aggregate + TakeOrderedAndProject).
+
+    Queries where a Field/Range/All clause is OR/XOR-reachable (or the whole
+    query is termless — `lang:x AND ts:[..]`, `NOT q`) additionally union a
+    doc_meta scan branch: rows that satisfy the AST with an EMPTY matched-
+    terms set, anti-joined against the posting-hit docs, entering at BM25
+    score 0.0. The reference evaluates field filters uniformly against full
+    index masks (MiruAggregateUtil.java:1098-1241); this is the Spark form —
+    the meta branch is a parquet-pushed filter scan of the forward index,
+    no shuffle beyond the union's top-k.
     """
     h = IndexHandle.open(index_dir)
     from miru_spark import analyzers as anz
 
     ast = qp.parse_query(query, analyzer=anz.load(index_dir))
-    if qp.disjunctive_nonterm(ast):
-        raise ValueError(
-            "Field/Range clause is OR/XOR-reachable: the distributed path "
-            "builds candidates from posting hits and would silently drop "
-            "term-less matches — use search_local for this query shape"
-        )
+    termless = qp.can_match_termless(ast)
     expansions = expand_prefixes(index_dir, qp.prefixes(ast))
     needed = sorted(qp.all_terms(ast) | {t for ts in expansions.values() for t in ts})
     scoring = qp.positive_terms(ast) | {
         t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
     }
     empty_schema = "doc_id long, score double, repo string, path string, commit string, lang string"
-    if not needed:
+    if not needed and not termless:
         return spark.createDataFrame([], empty_schema)
 
     # driver-side abort-if-empty (miru's AND short circuit,
@@ -616,38 +630,6 @@ def search_distributed(
         if required - present:
             return spark.createDataFrame([], empty_schema)
 
-    merged = (
-        spark.read.parquet(os.path.join(index_dir, "merged"))
-        .select("term", "docids", "tfs")  # column pruning: skip block metadata
-        .filter(F.col("term").isin(needed))
-    )
-
-    def explode_postings(batches):
-        for pdf in batches:
-            for term, db, tb in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
-                d, tf = decode_postings(db, tb)
-                yield pd.DataFrame({"term": term, "doc_id": d, "tf": tf.astype(np.int32)})
-
-    hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
-
-    # removal mask: ANDNOT the (small) removed-doc set out of the hits before
-    # the aggregation — broadcast anti-join, statistics stay corpus-global
-    # (miru buildIndexMask semantics, MiruBitmapsRoaring.java:457-505)
-    removed = removal.removed_array(index_dir)
-    if removed.size:
-        rdf = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
-        hits = hits.join(F.broadcast(rdf), "doc_id", "left_anti")
-
-    # per-term idf from global stats (tiny — driver lookup, broadcast via literal map)
-    stats = (
-        spark.read.parquet(os.path.join(index_dir, "stats"))
-        .filter(F.col("term").isin(needed))
-        .select("term", "df")
-    )
-    stats = stats.withColumn(
-        "idf", F.log((F.lit(h.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    )
-
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     has_ts = "ts" in meta.columns
     if (time_range is not None or qp.ranges(ast)) and not has_ts:
@@ -660,37 +642,95 @@ def search_distributed(
     meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
         ["ts"] if has_ts else []  # ts:[..] range clauses evaluate post-agg
     )
-    scored = (
-        hits.join(F.broadcast(stats), "term")
-        .join(meta.select(*meta_cols), "doc_id")
-        .withColumn(
-            "contrib",
-            F.when(
-                F.col("term").isin(sorted(scoring)),
-                F.col("idf")
-                * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / h.avgdl)),
-            ).otherwise(F.lit(0.0)),
+    removed = removal.removed_array(index_dir)
+
+    cond = _ast_to_condition(ast, expansions)
+    out_cols = ["doc_id", "score", "repo", "path", "commit", "lang"]
+    agg = out = None
+    if needed:
+        merged = (
+            spark.read.parquet(os.path.join(index_dir, "merged"))
+            .select("term", "docids", "tfs")  # column pruning: skip block metadata
+            .filter(F.col("term").isin(needed))
         )
-    )
-    aggs = [
-        F.collect_set("term").alias("mts"),
-        F.sum("contrib").alias("score"),
-        F.first("repo").alias("repo"),
-        F.first("path").alias("path"),
-        F.first("commit").alias("commit"),
-        F.first("lang").alias("lang"),
-    ]
-    if has_ts:
-        aggs.append(F.first("ts").alias("ts"))
-    agg = scored.groupBy("doc_id").agg(*aggs)
-    out = agg.filter(_ast_to_condition(ast, expansions))
+
+        def explode_postings(batches):
+            for pdf in batches:
+                for term, db, tb in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
+                    d, tf = decode_postings(db, tb)
+                    yield pd.DataFrame({"term": term, "doc_id": d, "tf": tf.astype(np.int32)})
+
+        hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
+
+        # removal mask: ANDNOT the (small) removed-doc set out of the hits before
+        # the aggregation — broadcast anti-join, statistics stay corpus-global
+        # (miru buildIndexMask semantics, MiruBitmapsRoaring.java:457-505)
+        if removed.size:
+            rdf = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
+            hits = hits.join(F.broadcast(rdf), "doc_id", "left_anti")
+
+        # per-term idf from global stats (tiny — driver lookup, broadcast via literal map)
+        stats = (
+            spark.read.parquet(os.path.join(index_dir, "stats"))
+            .filter(F.col("term").isin(needed))
+            .select("term", "df")
+        )
+        stats = stats.withColumn(
+            "idf", F.log((F.lit(h.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+
+        scored = (
+            hits.join(F.broadcast(stats), "term")
+            .join(meta.select(*meta_cols), "doc_id")
+            .withColumn(
+                "contrib",
+                F.when(
+                    F.col("term").isin(sorted(scoring)),
+                    F.col("idf")
+                    * (F.col("tf") * (K1 + 1.0))
+                    / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / h.avgdl)),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        aggs = [
+            F.collect_set("term").alias("mts"),
+            F.sum("contrib").alias("score"),
+            F.first("repo").alias("repo"),
+            F.first("path").alias("path"),
+            F.first("commit").alias("commit"),
+            F.first("lang").alias("lang"),
+        ]
+        if has_ts:
+            aggs.append(F.first("ts").alias("ts"))
+        agg = scored.groupBy("doc_id").agg(*aggs)
+        out = agg.filter(cond)
+
+    if termless:
+        # forward-index candidate branch: docs matching the AST with ZERO
+        # term hits (the condition over an empty mts IS that predicate).
+        # Docs with any posting hit on an AST term were already decided in
+        # the agg branch with their true mts — anti-join them out. Entry
+        # score is 0.0 (no scored term matched).
+        extra = (
+            meta.select(*meta_cols)
+            .withColumn("mts", F.array().cast("array<string>"))
+            .filter(cond)
+            .withColumn("score", F.lit(0.0))
+        )
+        if removed.size:
+            rdf2 = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
+            extra = extra.join(F.broadcast(rdf2), "doc_id", "left_anti")
+        if agg is not None:
+            extra = extra.join(agg.select("doc_id"), "doc_id", "left_anti")
+            out = out.select(*out_cols).unionByName(extra.select(*out_cols))
+        else:
+            out = extra
     if lang_filter:
         out = out.filter(F.col("lang").isin(lang_filter))
     if repo_filter:
         out = out.filter(F.col("repo").isin(repo_filter))
     return (
-        out.select("doc_id", "score", "repo", "path", "commit", "lang")
+        out.select(*out_cols)
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)
     )
@@ -726,9 +766,12 @@ def search_batch(
       tie order on the 6-dp-rounded score.
 
     The index is read once regardless of N; adding a query whose terms
-    overlap an existing one costs only its broadcast fan-out rows.
-    Restrictions match ``search_distributed``: Field/Range clauses must not
-    be OR/XOR-reachable (candidates are posting-hit-based).
+    overlap an existing one costs only its broadcast fan-out rows. Queries
+    where a Field/Range/All clause is OR/XOR-reachable (or that are wholly
+    termless) get the same doc_meta candidate branch as
+    ``search_distributed`` — ONE extra meta scan covers all such queries
+    (per-query termless predicates evaluated as an array of structs, rows
+    exploded per matching query).
 
     Returns (query_id int, doc_id long, score double, rank int, repo, path,
     commit, lang) — doc_id is the ENGINE docID; callers map to their own
@@ -743,16 +786,23 @@ def search_batch(
         "repo string, path string, commit string, lang string"
     )
 
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    has_ts = "ts" in meta.columns
+    meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
+        ["ts"] if has_ts else []
+    )
+
     live: list[tuple[int, object, dict]] = []  # (qid, ast, expansions)
     union_needed: set[str] = set()
     all_required: set[str] = set()
     parsed = []
     for qid, q in enumerate(queries):
         ast = qp.parse_query(q, analyzer=analyzer)
-        if qp.disjunctive_nonterm(ast):
+        if qp.ranges(ast) and not has_ts:
+            # same loud guard as search_distributed — otherwise the missing
+            # ts column fails late with an opaque AnalysisException
             raise ValueError(
-                f"query {qid!r}: Field/Range clause is OR/XOR-reachable — "
-                "use search_local for this query shape"
+                f"query {qid!r}: index has no doc-time column (built without ts)"
             )
         parsed.append((qid, ast))
         all_required |= qp.required_terms(ast)
@@ -771,91 +821,131 @@ def search_batch(
             continue  # a required conjunct is absent → provably empty
         expansions = expand_prefixes(index_dir, qp.prefixes(ast))
         needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
-        if not needed:
+        if not needed and not qp.can_match_termless(ast):
             continue
         union_needed |= needed
         live.append((qid, ast, expansions))
     if not live:
         return spark.createDataFrame([], out_schema)
-
-    # (query_id, term, scoring) fan-out table — tiny, broadcast
-    qt_rows = []
-    for qid, ast, expansions in live:
-        scoring = qp.positive_terms(ast) | {
-            t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
-        }
-        needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
-        for t in sorted(needed):
-            qt_rows.append((qid, t, t in scoring))
-    qt = spark.createDataFrame(qt_rows, "query_id int, term string, scoring boolean")
-
-    merged = (
-        spark.read.parquet(os.path.join(index_dir, "merged"))
-        .select("term", "docids", "tfs")
-        .filter(F.col("term").isin(sorted(union_needed)))
-    )
-
-    def explode_postings(batches):
-        for pdf in batches:
-            for term, db, tb in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
-                d, tf = decode_postings(db, tb)
-                yield pd.DataFrame({"term": term, "doc_id": d, "tf": tf.astype(np.int32)})
-
-    hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
+    termless_live = [x for x in live if qp.can_match_termless(x[1])]
 
     removed = removal.removed_array(index_dir)
-    if removed.size:
-        rdf = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
-        hits = hits.join(F.broadcast(rdf), "doc_id", "left_anti")
+    out_cols = ["query_id", "doc_id", "score", "repo", "path", "commit", "lang"]
+    agg = out = None
+    if union_needed:
+        # (query_id, term, scoring) fan-out table — tiny, broadcast
+        qt_rows = []
+        for qid, ast, expansions in live:
+            scoring = qp.positive_terms(ast) | {
+                t for p in qp.positive_prefixes(ast) for t in expansions.get(p, [])
+            }
+            needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
+            for t in sorted(needed):
+                qt_rows.append((qid, t, t in scoring))
+        qt = spark.createDataFrame(qt_rows, "query_id int, term string, scoring boolean")
 
-    stats = (
-        spark.read.parquet(os.path.join(index_dir, "stats"))
-        .filter(F.col("term").isin(sorted(union_needed)))
-        .select("term", "df")
-        .withColumn(
-            "idf", F.log((F.lit(h.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        merged = (
+            spark.read.parquet(os.path.join(index_dir, "merged"))
+            .select("term", "docids", "tfs")
+            .filter(F.col("term").isin(sorted(union_needed)))
         )
-    )
 
-    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
-    has_ts = "ts" in meta.columns
-    meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
-        ["ts"] if has_ts else []
-    )
+        def explode_postings(batches):
+            for pdf in batches:
+                for term, db, tb in zip(pdf["term"], pdf["docids"], pdf["tfs"]):
+                    d, tf = decode_postings(db, tb)
+                    yield pd.DataFrame({"term": term, "doc_id": d, "tf": tf.astype(np.int32)})
 
-    scored = (
-        hits.join(F.broadcast(qt), "term")  # fan out each posting row per interested query
-        .join(F.broadcast(stats), "term")
-        .join(meta.select(*meta_cols), "doc_id")
-        .withColumn(
-            "contrib",
-            F.when(
-                F.col("scoring"),
-                F.col("idf")
-                * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / h.avgdl)),
-            ).otherwise(F.lit(0.0)),
+        hits = merged.mapInPandas(explode_postings, schema=_POSTING_ROW_SCHEMA)
+
+        if removed.size:
+            rdf = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
+            hits = hits.join(F.broadcast(rdf), "doc_id", "left_anti")
+
+        stats = (
+            spark.read.parquet(os.path.join(index_dir, "stats"))
+            .filter(F.col("term").isin(sorted(union_needed)))
+            .select("term", "df")
+            .withColumn(
+                "idf", F.log((F.lit(h.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            )
         )
-    )
-    aggs = [
-        F.collect_set("term").alias("mts"),
-        F.sum("contrib").alias("score"),
-        F.first("repo").alias("repo"),
-        F.first("path").alias("path"),
-        F.first("commit").alias("commit"),
-        F.first("lang").alias("lang"),
-    ]
-    if has_ts:
-        aggs.append(F.first("ts").alias("ts"))
-    agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
 
-    # flat CASE over query_id: each query's AST condition appears exactly once
-    cond = F.lit(False)
-    for qid, ast, expansions in live:
-        cond = F.when(F.col("query_id") == qid, _ast_to_condition(ast, expansions)).otherwise(
-            cond
+        scored = (
+            hits.join(F.broadcast(qt), "term")  # fan out each posting row per interested query
+            .join(F.broadcast(stats), "term")
+            .join(meta.select(*meta_cols), "doc_id")
+            .withColumn(
+                "contrib",
+                F.when(
+                    F.col("scoring"),
+                    F.col("idf")
+                    * (F.col("tf") * (K1 + 1.0))
+                    / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / h.avgdl)),
+                ).otherwise(F.lit(0.0)),
+            )
         )
-    out = agg.filter(cond).withColumn("score", F.round(F.col("score"), 6))
+        aggs = [
+            F.collect_set("term").alias("mts"),
+            F.sum("contrib").alias("score"),
+            F.first("repo").alias("repo"),
+            F.first("path").alias("path"),
+            F.first("commit").alias("commit"),
+            F.first("lang").alias("lang"),
+        ]
+        if has_ts:
+            aggs.append(F.first("ts").alias("ts"))
+        agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
+
+        # flat CASE over query_id: each query's AST condition appears exactly once
+        cond = F.lit(False)
+        for qid, ast, expansions in live:
+            cond = F.when(F.col("query_id") == qid, _ast_to_condition(ast, expansions)).otherwise(
+                cond
+            )
+        out = agg.filter(cond).withColumn("score", F.round(F.col("score"), 6))
+
+    if termless_live:
+        # ONE meta scan for every termless-capable query: per-query predicate
+        # over an empty mts, evaluated as an array of (qid, matched) structs,
+        # exploded to (query_id, doc) candidate rows at score 0.0
+        mmeta = meta.select(*meta_cols).withColumn("mts", F.array().cast("array<string>"))
+        matches = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("qid"),
+                        _ast_to_condition(ast, expansions).alias("m"),
+                    )
+                    for qid, ast, expansions in termless_live
+                ]
+            ),
+            lambda s: s["m"],
+        )
+        extra = (
+            mmeta.withColumn("qids", matches)
+            .filter(F.size("qids") > 0)
+            .select(F.explode("qids").alias("q"), "doc_id", "repo", "path", "commit", "lang")
+            .select(
+                F.col("q.qid").alias("query_id"),
+                "doc_id",
+                F.lit(0.0).alias("score"),
+                "repo",
+                "path",
+                "commit",
+                "lang",
+            )
+        )
+        if removed.size:
+            rdf2 = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
+            extra = extra.join(F.broadcast(rdf2), "doc_id", "left_anti")
+        if agg is not None:
+            extra = extra.join(
+                agg.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+            )
+            out = out.select(*out_cols).unionByName(extra.select(*out_cols))
+        else:
+            out = extra
 
     from pyspark.sql.window import Window
 

@@ -8,14 +8,25 @@ from miru_spark.corpus import reference_query_set
 from miru_spark.query.scorer import search_batch, search_distributed
 
 
+def _expected_from_distributed(spark, index_dir, query, k):
+    """search_distributed cuts top-k on the RAW score while search_batch cuts
+    on the 6-dp-ROUNDED score; fetch k+slack rows and re-rank on the rounded
+    score so a rounding-induced tie straddling the k boundary can't make the
+    comparison fail on correct code (ADVICE r3)."""
+    exp = search_distributed(spark, index_dir, query, k=k + 10).toPandas()
+    exp["score"] = exp["score"].round(6)
+    exp = exp.sort_values(
+        ["score", "doc_id"], ascending=False, kind="mergesort"
+    ).head(k)
+    return exp
+
+
 def test_batch_matches_per_query_distributed(tiny_index, spark):
     qs = [x for x in reference_query_set() if x["qid"] in (1, 3, 5, 6, 7)]
     queries = [x["query"] for x in qs]
     batch = search_batch(spark, tiny_index, queries, k=10).toPandas()
     for qid, x in enumerate(qs):
-        exp = search_distributed(spark, tiny_index, x["query"], k=10).toPandas()
-        exp["score"] = exp["score"].round(6)
-        exp = exp.sort_values(["score", "doc_id"], ascending=False, kind="mergesort")
+        exp = _expected_from_distributed(spark, tiny_index, x["query"], k=10)
         got = batch[batch["query_id"] == qid].sort_values("rank")
         assert got["doc_id"].tolist() == exp["doc_id"].tolist(), x["query"]
         assert got["score"].tolist() == pytest.approx(exp["score"].tolist(), abs=1e-6)
@@ -31,9 +42,27 @@ def test_batch_skips_provably_empty_and_unknown_queries(tiny_index, spark):
     assert len(out) == 5
 
 
-def test_batch_rejects_disjunctive_nonterm(tiny_index, spark):
-    with pytest.raises(ValueError):
-        search_batch(spark, tiny_index, ["merge OR lang:python"], k=5)
+def test_batch_termless_shapes_match_distributed(tiny_index, spark):
+    """Queries where a Field clause is OR-reachable, a pure-negative query,
+    and a wholly termless query all flow through the batch path's shared
+    doc_meta candidate branch — each must be rank-identical to its own
+    search_distributed run (one mixed batch, one meta scan)."""
+    queries = [
+        "rareterm0 OR lang:python",  # scored ∪ termless union (df(rareterm0)=1)
+        "NOT merge",  # mustNots-only → Not(All, merge)
+        "lang:go AND NOT sort",  # termless with a negative term hit
+        "merge AND sort",  # plain scored query sharing the batch
+    ]
+    batch = search_batch(spark, tiny_index, queries, k=12).toPandas()
+    for qid, q in enumerate(queries):
+        exp = _expected_from_distributed(spark, tiny_index, q, k=12)
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), q
+        assert got["score"].tolist() == pytest.approx(exp["score"].tolist(), abs=1e-6), q
+    # the union shape actually mixed branches: query 0 has both scored and
+    # 0.0-score rows (otherwise this test proves nothing)
+    q0 = batch[batch["query_id"] == 0]
+    assert (q0["score"] > 0).any() and (q0["score"] == 0).any()
 
 
 def test_label_propagation_converges_on_path_graph(spark):

@@ -45,9 +45,13 @@ def test_not():
     assert q2 == Not(And((Term("a"), Term("b"))), Term("c"))
 
 
-def test_pure_negative_rejected():
-    with pytest.raises(ValueError):
-        parse_query("NOT a")
+def test_pure_negative_wraps_all():
+    # mustNots-only → pButNotQ(all, q) with inclusiveFilter=true
+    # (LuceneBackedQueryParser.java:139-141)
+    from miru_spark.query.parser import All
+
+    assert parse_query("NOT a") == Not(All(), Term("a"))
+    assert parse_query("NOT a NOT b") == Not(Not(All(), Term("a")), Term("b"))
 
 
 def test_prefix():

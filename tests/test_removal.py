@@ -222,6 +222,38 @@ def test_ts_range_clause_in_query(del_index, spark):
         assert list(got_d["doc_id"]) == list(exp["doc_id"]), q
 
 
+def test_or_reachable_range_and_pure_negative_all_paths(del_index, spark):
+    """VERDICT r3 items 1+4: a Range clause that is OR-reachable (a doc can
+    match with zero term hits) and mustNots-only queries must be
+    rank-identical on the serving AND distributed paths vs the oracle.
+    Termless matches enter at score 0.0, tie order (0.0, doc_id desc);
+    removal masks compose on the termless branch too."""
+    index_dir, with_ids = del_index
+    rowidx = F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+    corpus_ts = with_ids.withColumn("ts", F.pmod(rowidx, F.lit(37)))
+    removed_now = set(removal.removed_array(index_dir).tolist())
+    cases = [
+        ("rareterm0 OR ts:[0 TO 2]", 12),  # scored ∪ termless mix (df=1)
+        ("NOT merge", 10),  # pure negative → Not(All, merge)
+        ("lang:python AND NOT merge", 8),  # wholly termless w/ negative term
+        ("merge OR ts:[0 TO 2]", 8),  # OR-reachable Range, scored fills k
+    ]
+    for q, k in cases:
+        exp = oracle_topk(corpus_ts, q, k=10_000).toPandas()
+        exp = exp[~exp["doc_id"].isin(removed_now)].head(k)
+        got_l = search_local(index_dir, q, k=k)
+        assert list(got_l["doc_id"]) == list(exp["doc_id"]), q
+        assert [round(float(s), 6) for s in got_l["score"]] == [
+            round(float(s), 6) for s in exp["score"]
+        ], q
+        got_d = search_distributed(spark, index_dir, q, k=k).toPandas()
+        assert list(got_d["doc_id"]) == list(exp["doc_id"]), q
+    # the first case must genuinely exercise BOTH branches
+    mixed = oracle_topk(corpus_ts, cases[0][0], k=10_000).toPandas()
+    mixed = mixed[~mixed["doc_id"].isin(removed_now)].head(12)
+    assert (mixed["score"] > 0).any() and (mixed["score"] == 0).any()
+
+
 def test_narrow_time_range_disjunction_sound(del_index, spark):
     """Regression: a pure disjunction + a NARROW time mask must not take the
     WAND fast path — θ seeds from unfiltered scores, so every in-range doc
