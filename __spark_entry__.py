@@ -30,6 +30,14 @@ _TOK_SW_CTE = (
     + _EN_SW_ANALYZER.duckdb_tokens_sql("text")
     + ") AS term FROM documents)"
 )
+# de_at walks down to the German (Snowball) set — same resolution the
+# engine-side index build performs (TermAnalyzers.java:120-136 walk)
+_DE_SW_ANALYZER = anz.find_analyzer("de_at", True)
+_TOK_SW_DE_CTE = (
+    "tok AS (SELECT doc_id, unnest("
+    + _DE_SW_ANALYZER.duckdb_tokens_sql("text")
+    + ") AS term FROM documents)"
+)
 _TOK_CTE = f"tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)"
 _TOKARR_CTE = f"tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)"
 
@@ -435,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_or": ft.ft_bm25_or,
         "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
         "ft_bm25_stopworded_en": ft.ft_bm25_stopworded_en,  # Q2 locale analyzer e2e
+        "ft_bm25_stopworded_de": ft.ft_bm25_stopworded_de,  # Q2 de set via de_at walk
         "ft_highlights": ft.ft_highlights,  # Q3 best-4-fragment highlighter
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
         "ft_bm25_batch": ft.ft_bm25_batch,  # N queries, ONE posting scan (search_batch)
@@ -466,6 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": rel.bloom_prune_join,  # J6 real bloom pre-join pruning
         "catwalk_model": rel.catwalk_model,  # J4 model gather (flat)
         "catwalk_features": rel.catwalk_features,  # J4 full FeatureScore shape
+        # cross-partition model merge + min-score/max-per-feature pruning
+        # (CatwalkModelService.java:100-237) — oracle trains on the union,
+        # hash-equality proves the per-range merge is exact
+        "catwalk_merged": rel.catwalk_merged,
         "strut_scores": rel.strut_scores,  # J5 scoring over catwalk_features
         "filter_boolean": rel.filter_boolean,
         "filter_xor": rel.filter_xor,
@@ -570,6 +583,9 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
         "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
         "ft_bm25_stopworded_en": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_CTE),
+        "ft_bm25_stopworded_de": _bm25_sql(
+            ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_DE_CTE
+        ),
         "ft_highlights": _highlights_sql(),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
         "ft_bm25_batch": _bm25_batch_sql(),
@@ -759,6 +775,47 @@ SELECT feature_id, feature_key,
        sum(CASE WHEN user_id IN (SELECT user_id FROM set_am) THEN 1 ELSE 0 END)::BIGINT AS num_am,
        count(*)::BIGINT AS denom
 FROM feat GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "catwalk_merged": f"""
+WITH docs AS (
+  SELECT user_id,
+         value > 50.0 AS is_hi,
+         EXTRACT(hour FROM ts) < 12 AS is_am,
+         event_type AS fkey0,
+         event_type || '|' || CAST(CAST(FLOOR(value / 25) AS INT) AS VARCHAR) AS fkey1,
+         dayofyear(ts) % {rel._CATWALK_N_RANGES} AS range_id
+  FROM events),
+set_hi AS (SELECT user_id FROM docs WHERE is_hi GROUP BY user_id
+           ORDER BY count(*) DESC, user_id ASC LIMIT 40),
+set_am AS (SELECT user_id FROM docs WHERE is_am GROUP BY user_id
+           ORDER BY count(*) DESC, user_id ASC LIMIT 40),
+feat AS (
+  SELECT CAST(0 AS INT) AS feature_id, fkey0 AS feature_key, user_id, range_id FROM docs
+  UNION ALL
+  SELECT CAST(1 AS INT) AS feature_id, fkey1 AS feature_key, user_id, range_id FROM docs),
+model AS (
+  SELECT feature_id, feature_key,
+         sum(CASE WHEN user_id IN (SELECT user_id FROM set_hi) THEN 1 ELSE 0 END)::BIGINT AS num_hi,
+         sum(CASE WHEN user_id IN (SELECT user_id FROM set_am) THEN 1 ELSE 0 END)::BIGINT AS num_am,
+         count(*)::BIGINT AS denom,
+         count(DISTINCT range_id)::BIGINT AS n_models
+  FROM feat GROUP BY 1, 2),
+scored AS (
+  SELECT *,
+         round(num_hi / denom, 6) AS s_hi,
+         round(num_am / denom, 6) AS s_am,
+         greatest(round(num_hi / denom, 6), round(num_am / denom, 6)) AS max_score
+  FROM model),
+pruned AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY feature_id
+                            ORDER BY max_score DESC, denom DESC, feature_key ASC) AS rn
+  FROM scored
+  WHERE (num_hi > 0 AND s_hi > {rel._CATWALK_MIN_SCORE})
+     OR (num_am > 0 AND s_am > {rel._CATWALK_MIN_SCORE}))
+SELECT feature_id, feature_key, num_hi, num_am, denom, n_models, max_score
+FROM pruned WHERE rn <= {rel._CATWALK_MAX_PER_FEATURE}
+ORDER BY feature_id, feature_key
 """,
         "strut_scores": """
 WITH docs AS (

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from miru_spark import analyzer as base
 from miru_spark.stopwords_en import EN_STOPWORDS
+from miru_spark.stopwords_langs import DE_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS
 
 
 @dataclass(frozen=True)
@@ -89,10 +90,15 @@ class Analyzer:
 # locale → stop set when use_stopwords (TermAnalyzers.java:51-84 registers
 # per-language Lucene analyzers; we register stop sets). en_ie shares the
 # English set exactly as the reference passes ENGLISH_STOP_WORDS_SET to
-# IrishAnalyzer (TermAnalyzers.java:57).
+# IrishAnalyzer (TermAnalyzers.java:57). de/es/fr carry the public Snowball
+# lists (the Lucene per-language analyzer defaults the reference constructs
+# at :60/:76/:61); more via register_stopwords.
 _STOPWORD_SETS: dict[str, frozenset] = {
     "en": EN_STOPWORDS,
     "en_ie": EN_STOPWORDS,
+    "de": DE_STOPWORDS,
+    "es": ES_STOPWORDS,
+    "fr": FR_STOPWORDS,
 }
 
 

@@ -367,21 +367,28 @@ def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_engine_topk(spark, res)
 
 
-def build_documents_index_stopworded(spark: SparkSession, sf_dir: str) -> str:
-    """Like build_documents_index but with the English stopword analyzer
-    (Q2: analyzers.find_analyzer("en", True) — the TermAnalyzers path).
-    Separate cached dir: the analyzer is part of the index identity."""
-    key = "sw:" + sf_dir
+def build_documents_index_stopworded(
+    spark: SparkSession, sf_dir: str, locale: str = "en"
+) -> str:
+    """Like build_documents_index but with a locale stopword analyzer
+    (Q2: analyzers.find_analyzer(locale, True) — the TermAnalyzers path;
+    xx_yy locales walk down to xx per TermAnalyzers.java:120-136).
+    Separate cached dir per locale: the analyzer is part of the index
+    identity."""
+    key = f"sw:{locale}:{sf_dir}"
     idx = _ENGINE_INDEX_CACHE.get(key)
     if idx and os.path.exists(os.path.join(idx, "corpus_stats.json")):
         return idx
     from miru_spark.index.build import build_index
 
     idx = os.path.join(
-        tempfile.gettempdir(), "miru_idx_sw_v1_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        f"miru_idx_sw_{locale}_v1_" + sf_dir.strip("/").replace("/", "_"),
     )
     corpus = _docs_as_corpus(_docs(spark, sf_dir))
-    build_index(spark, corpus, idx, num_partitions=8, resume=True, analyzer=("en", True))
+    build_index(
+        spark, corpus, idx, num_partitions=8, resume=True, analyzer=(locale, True)
+    )
     _ENGINE_INDEX_CACHE[key] = idx
     return idx
 
@@ -396,6 +403,22 @@ def ft_bm25_stopworded_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_documents_index_stopworded(spark, sf_dir)
     res = search_distributed(spark, idx, "the merge sort about", k=10)
+    return _finish_engine_topk(spark, res)
+
+
+def ft_bm25_stopworded_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 per-language stop sets: index built with the GERMAN stop set
+    selected via the de_at → de fallback walk (TermAnalyzers.java:120-136;
+    the de set is Lucene GermanAnalyzer's Snowball default,
+    TermAnalyzers.java:60). The query carries German stopwords ('der',
+    'und') the en set does NOT contain — un-pruned they'd hit the
+    required-term short circuit (absent from the dictionary) and return
+    empty, so a non-empty exact match proves the locale-selected set was
+    applied on both the index and query sides."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index_stopworded(spark, sf_dir, locale="de_at")
+    res = search_distributed(spark, idx, "der merge und sort", k=10)
     return _finish_engine_topk(spark, res)
 
 

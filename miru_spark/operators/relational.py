@@ -369,12 +369,18 @@ def catwalk_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feature definitions (one single-field, one composite to exercise the
 # multi-field termIds path).
 _CATWALK_TOP_N_TERMS = 40  # topNTermsPerNumerator (CatwalkQuestion.java:64)
+_CATWALK_N_RANGES = 4  # partition ranges for the model-merge (FeatureRange analog)
+_CATWALK_MIN_SCORE = 0.05  # gatherMinFeatureScore (CatwalkModelService ctor)
+_CATWALK_MAX_PER_FEATURE = 20  # gatherMaxFeatureScoresPerFeature
 
 
 def _catwalk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc projection: numerator-filter flags + one key per feature.
     Feature 0 = (event_type); feature 1 = (event_type, floor(value/25))
-    composed with '|' exactly like functions/composer.py composite terms."""
+    composed with '|' exactly like functions/composer.py composite terms.
+    ``range_id`` slices the activity stream into time-ordered partition
+    ranges (the deployable's FeatureRange fromPartitionId..toPartitionId
+    analog) for the cross-partition model merge."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "user_id",
@@ -384,6 +390,7 @@ def _catwalk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|", "event_type", F.floor(F.col("value") / 25).cast("int").cast("string")
         ).alias("fkey1"),
+        F.pmod(F.dayofyear("ts"), F.lit(_CATWALK_N_RANGES)).cast("int").alias("range_id"),
     )
 
 
@@ -451,6 +458,87 @@ def catwalk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("user_id").isin(hi_ids), 1).otherwise(0)).alias("num_hi"),
             F.sum(F.when(F.col("user_id").isin(am_ids), 1).otherwise(0)).alias("num_am"),
             F.count("*").alias("denom"),
+        )
+        .orderBy("feature_id", "feature_key")
+    )
+
+
+def catwalk_per_range_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One catwalk_features model PER partition range: the deployable stores
+    ModelFeatureScores keyed by (feature, fromPartitionId..toPartitionId)
+    (CatwalkModelService.saveModel). The numerator gather-sets are part of
+    the query DEFINITION (CatwalkQuery features/modelFilters), so every
+    range counts its slice against the SAME sets — which is exactly what
+    makes the merge below exact."""
+    hi_ids, am_ids = _catwalk_numerator_sets(spark, sf_dir)
+    docs = _catwalk_docs(spark, sf_dir)
+    feat = docs.select(
+        "user_id",
+        "range_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("feature_id"), F.col("fkey0").alias("feature_key")),
+                F.struct(F.lit(1).alias("feature_id"), F.col("fkey1").alias("feature_key")),
+            )
+        ).alias("f"),
+    ).select("user_id", "range_id", "f.feature_id", "f.feature_key")
+    return feat.groupBy("range_id", "feature_id", "feature_key").agg(
+        F.sum(F.when(F.col("user_id").isin(hi_ids), 1).otherwise(0)).alias("num_hi"),
+        F.sum(F.when(F.col("user_id").isin(am_ids), 1).otherwise(0)).alias("num_am"),
+        F.count("*").alias("denom"),
+    )
+
+
+def catwalk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition Catwalk model merge — the piece that turns J4/J5 from
+    a query into a SERVICE (miru-catwalk-deployable/.../CatwalkModelService
+    .java:100-237): per-partition-range ModelFeatureScores merge by summing
+    numerators and denominators per (feature, feature value) (``merge()``
+    :481-492); the merged model is then pruned by gatherMinFeatureScore
+    (filterEligibleScores :355-369 — keep a row iff ANY numerator>0 has
+    num/denom STRICTLY above the threshold) and cut to
+    gatherMaxFeatureScoresPerFeature per feature ordered by (max
+    per-numerator score desc, denominator desc)
+    (FEATURE_SCORES_PER_FEATURE_COMPARATOR :769-777; feature_key asc added
+    as the deterministic final tiebreak).
+
+    Because every range counts against the same gather-sets, the merged
+    sums provably equal union-trained counts — the oracle trains on the
+    union and must hash-match, proving the merge is exact (associative,
+    lossless). ``n_models`` = distinct contributing ranges per row pins
+    that the per-range split really happened.
+
+    Plan: per-range models are a map-side-combined aggregate keyed by
+    (range, feature, value); the merge is a second tiny aggregate over
+    model rows (bounded by the feature-value vocabulary, NOT the corpus);
+    pruning is one window over the merged model. At 100 TB the fact scan
+    happens once per range-increment (incremental saveModel), never at
+    query time."""
+    per_range = catwalk_per_range_models(spark, sf_dir)
+    merged = per_range.groupBy("feature_id", "feature_key").agg(
+        F.sum("num_hi").alias("num_hi"),
+        F.sum("num_am").alias("num_am"),
+        F.sum("denom").alias("denom"),
+        F.countDistinct("range_id").alias("n_models"),
+    )
+    # round-then-compare on BOTH engines (CLAUDE.md threshold rule)
+    s_hi = F.round(F.col("num_hi") / F.col("denom"), 6)
+    s_am = F.round(F.col("num_am") / F.col("denom"), 6)
+    eligible = ((F.col("num_hi") > 0) & (s_hi > _CATWALK_MIN_SCORE)) | (
+        (F.col("num_am") > 0) & (s_am > _CATWALK_MIN_SCORE)
+    )
+    max_score = F.greatest(s_hi, s_am)
+    w = Window.partitionBy("feature_id").orderBy(
+        F.desc("max_score"), F.desc("denom"), F.asc("feature_key")
+    )
+    return (
+        merged.filter(eligible)
+        .withColumn("max_score", max_score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CATWALK_MAX_PER_FEATURE)
+        .select(
+            "feature_id", "feature_key", "num_hi", "num_am", "denom",
+            "n_models", "max_score",
         )
         .orderBy("feature_id", "feature_key")
     )

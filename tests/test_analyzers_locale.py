@@ -44,6 +44,64 @@ def test_fallback_walk():
     assert anz.find_analyzer("zz", False).stopwords == frozenset()
 
 
+DE_PIN = [
+    # (raw, tokens under the German-stopword analyzer)
+    ("und der merge", ["merge"]),
+    ("merge aber sort", ["merge", "sort"]),
+    ("der die das", []),
+    ("nicht merge nicht", ["merge"]),  # dups of stopwords all dropped
+    ("the merge", ["the", "merge"]),  # 'the' is NOT a German stopword
+]
+
+
+def test_language_stop_sets_registered():
+    from miru_spark.stopwords_langs import DE_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS
+
+    assert anz.find_analyzer("de", True).stopwords == DE_STOPWORDS
+    assert anz.find_analyzer("de_at", True).stopwords == DE_STOPWORDS  # walk
+    assert anz.find_analyzer("es", True).stopwords == ES_STOPWORDS
+    assert anz.find_analyzer("fr_ca", True).stopwords == FR_STOPWORDS
+    for w in ("der", "und", "nicht"):
+        assert w in DE_STOPWORDS
+    for w in ("que", "para", "como"):
+        assert w in ES_STOPWORDS
+    for w in ("le", "dans", "pour"):
+        assert w in FR_STOPWORDS
+    # disjoint from English where it matters for the de gate query
+    assert "der" not in EN_STOPWORDS and "und" not in EN_STOPWORDS
+
+
+def test_de_four_impl_parity(spark):
+    """Same 4-impl parity contract as the en set: Python, JVM, DuckDB and
+    the Arrow vocab mask must agree token-for-token under the de set."""
+    import duckdb as _duckdb
+
+    from miru_spark.analyzer import tokenize_arrow_flat
+
+    de = anz.find_analyzer("de_at", True)
+    for raw, expected in DE_PIN:
+        assert de.tokenize_one(raw) == expected, raw
+    s = pd.Series([r for r, _ in DE_PIN])
+    assert de.tokenize_pandas(s).tolist() == [e for _, e in DE_PIN]
+    df = spark.createDataFrame([(r,) for r, _ in DE_PIN], "content string")
+    got = [r["t"] for r in df.select(de.tokens_col("content").alias("t")).collect()]
+    assert got == [e for _, e in DE_PIN]
+    con = _duckdb.connect()
+    con.execute("create table t(content varchar)")
+    con.executemany("insert into t values (?)", [(r,) for r, _ in DE_PIN])
+    got = [
+        r[0]
+        for r in con.execute(f"select {de.duckdb_tokens_sql('content')} from t").fetchall()
+    ]
+    assert got == [e for _, e in DE_PIN]
+    codes, vocab, parents, _ = tokenize_arrow_flat(s)
+    keep = ~de.stop_mask_for_vocab(vocab)[codes]
+    per_row = [[] for _ in range(len(s))]
+    for c, p in zip(codes[keep], parents[keep]):
+        per_row[p].append(vocab[c])
+    assert per_row == [e for _, e in DE_PIN]
+
+
 def test_register_custom_locale():
     anz.register_stopwords("xx", ["foo", "bar"])
     try:

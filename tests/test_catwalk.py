@@ -88,3 +88,69 @@ def test_strut_model_cache_reuses_generation(spark, sf_dir, monkeypatch):
     assert other != sf_dir
     rel.strut_scores(spark, other, k=5).collect()
     assert calls == [sf_dir, other]
+
+
+def test_merged_model_equals_union_trained(spark, sf_dir):
+    """Cross-partition merge exactness (CatwalkModelService.merge :481-492):
+    per-range models summed per (feature, value) must equal the
+    union-trained catwalk_features counts — numerator sets are part of the
+    query definition, so the merge is associative and lossless."""
+    per_range = rel.catwalk_per_range_models(spark, sf_dir).toPandas()
+    assert per_range["range_id"].nunique() > 1  # the split really happened
+    summed = (
+        per_range.groupby(["feature_id", "feature_key"], as_index=False)[
+            ["num_hi", "num_am", "denom"]
+        ]
+        .sum()
+        .sort_values(["feature_id", "feature_key"])
+        .reset_index(drop=True)
+    )
+    union = (
+        rel.catwalk_features(spark, sf_dir)
+        .toPandas()
+        .sort_values(["feature_id", "feature_key"])
+        .reset_index(drop=True)
+    )
+    assert summed.equals(union[["feature_id", "feature_key", "num_hi", "num_am", "denom"]])
+
+
+def test_merged_pruning_semantics(spark, sf_dir):
+    """gatherMinFeatureScore keeps a row iff ANY numerator>0 clears the
+    threshold STRICTLY (filterEligibleScores :355-369);
+    gatherMaxFeatureScoresPerFeature cuts per feature by (max score desc,
+    denom desc) (:769-777)."""
+    pdf = rel.catwalk_merged(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    t = rel._CATWALK_MIN_SCORE
+    s_hi = (pdf["num_hi"] / pdf["denom"]).round(6)
+    s_am = (pdf["num_am"] / pdf["denom"]).round(6)
+    ok = ((pdf["num_hi"] > 0) & (s_hi > t)) | ((pdf["num_am"] > 0) & (s_am > t))
+    assert ok.all()
+    counts = pdf.groupby("feature_id").size()
+    assert (counts <= rel._CATWALK_MAX_PER_FEATURE).all()
+    # the cut was actually exercised: the unpruned model has more feature-1
+    # rows than survive
+    full = rel.catwalk_features(spark, sf_dir).toPandas()
+    assert (full["feature_id"] == 1).sum() > (pdf["feature_id"] == 1).sum()
+    # n_models pins the per-range split (> 1 contributing range somewhere)
+    assert pdf["n_models"].max() > 1
+
+
+def test_strut_scores_identical_from_merged_model(spark, sf_dir):
+    """J5 fed from the MERGED (unpruned) model must score identically to
+    strut_scores' direct model — the service path and the query path agree
+    (StrutModelCache + CatwalkModelService.getModel composition)."""
+    direct = rel.strut_scores(spark, sf_dir).toPandas()
+    per_range = rel.catwalk_per_range_models(spark, sf_dir).toPandas()
+    merged = (
+        per_range.groupby(["feature_id", "feature_key"], as_index=False)[
+            ["num_hi", "num_am", "denom"]
+        ].sum()
+    )
+    rel.strut_model_cache_clear()
+    rel._STRUT_MODEL_CACHE[str(sf_dir)] = [
+        tuple(r) for r in merged.itertuples(index=False)
+    ]
+    via_merged = rel.strut_scores(spark, str(sf_dir)).toPandas()
+    assert via_merged["user_id"].tolist() == direct["user_id"].tolist()
+    assert via_merged["score"].tolist() == direct["score"].tolist()
