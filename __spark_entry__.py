@@ -516,6 +516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
         "lsh_ann_topk": similarity.lsh_ann_topk,  # the bucketed scale path
         "lsh_ann_batch": similarity.lsh_ann_batch,  # batched-query ANN serving
+        # unbounded-N form: bucket-PARTITIONED corpus (hive dirs), probes
+        # shuffle-hash-joined (never broadcast), scan pruned to probed
+        # bucket partitions — same results as lsh_ann_batch at any N
+        "lsh_ann_partitioned": similarity.lsh_ann_partitioned,
         # near-dup with the LSH bucket as the blocking key (multiprobe) —
         # the label-free form that holds at corpus scale
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
@@ -1122,6 +1126,11 @@ FROM flat GROUP BY lang ORDER BY lang
         "lsh_bucket_stats": _lsh_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "lsh_ann_batch": _lsh_ann_batch_oracle_sql(),
+        # same oracle SQL shape at larger N — the physical strategy
+        # (partitioned scan + shuffle join) must not change any result
+        "lsh_ann_partitioned": _lsh_ann_batch_oracle_sql(
+            query_ids=similarity.PARTITIONED_QUERY_IDS
+        ),
         "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],

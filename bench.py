@@ -109,6 +109,11 @@ def main() -> None:
         "ft_bm25_batch",
         # deterministic split + within-doc repetition quality signal
         "stratified_split", "ngram_repetition",
+        # round-4 operators: OR-reachable Range (doc_meta branch), pure-
+        # negative serving, German stop set e2e, cross-partition Catwalk
+        # merge, bucket-partitioned unbounded-N ANN
+        "ft_bm25_or_timerange", "ft_not_only", "ft_bm25_stopworded_de",
+        "catwalk_merged", "lsh_ann_partitioned",
     ]
     qmap = entry.queries()
     for name in headline:
@@ -123,7 +128,29 @@ def main() -> None:
     qmap["strut_scores"](spark, sf_dir).collect()
     queries["strut_scores_warm"] = round(time.perf_counter() - t0, 4)
 
+    # Strut INCREMENTAL rescore warm path: model reconstructed from the
+    # persisted FeatureCache counts (tiny parquet bounded by the feature
+    # vocabulary) — the fact table is never rescanned at serve time
+    from miru_spark.operators.relational import (
+        catwalk_model_cache,
+        strut_scores_from_cache,
+    )
+
+    cache_dir = os.path.join(tempfile.gettempdir(), "miru_bench_strutcache")
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    cache = catwalk_model_cache(spark, sf_dir, cache_dir)
+    cache.update(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    t0 = time.perf_counter()
+    strut_scores_from_cache(spark, sf_dir, cache).collect()
+    queries["strut_scores_incr_warm"] = round(time.perf_counter() - t0, 4)
+
     total = time.perf_counter() - t_total0
+    bw_post = probe()
+    # healthy-band gate (BASELINE.md protocol: 8-15 GB/s typical; numbers
+    # taken under a degraded host move shuffle-heavy ops 2-3x and must not
+    # be transcribed as a row of record) — a run outside the band is marked
+    # ADVISORY rather than silently comparable
+    healthy = bw_pre["bw_gbps"] >= 8.0 and bw_post["bw_gbps"] >= 8.0
     print(json.dumps({
         "metric": "index-build + BM25 serve + headline query suite wall time",
         "value": round(total, 3),
@@ -136,7 +163,9 @@ def main() -> None:
         "bm25_p95_ms": round(float(np.percentile(lat, 95)), 2),
         "cpus": cpus,
         "host_bw_gbps_pre": bw_pre["bw_gbps"],
-        "host_bw_gbps_post": probe()["bw_gbps"],
+        "host_bw_gbps_post": bw_post["bw_gbps"],
+        "probe_healthy": healthy,
+        "advisory": not healthy,
     }))
     spark.stop()
 

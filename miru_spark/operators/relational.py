@@ -574,12 +574,19 @@ def strut_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
 
     The model is bounded by the feature-value vocabulary → broadcast join;
     candidates shuffle only distinct (user, feature) pairs."""
-    n_features, n_numerators = 2, 2
     model_rows = _strut_model_rows(spark, sf_dir)
     model = spark.createDataFrame(
         model_rows,
         "feature_id int, feature_key string, num_hi long, num_am long, denom long",
     )
+    return _strut_rank(spark, sf_dir, model, k)
+
+
+def _strut_rank(spark: SparkSession, sf_dir: str, model: DataFrame, k: int) -> DataFrame:
+    """Shared Strut scoring tail: candidates × (broadcast) model → per-feature
+    max → UNIT_WEIGHTED finalize → top-k. One copy of the score contract so
+    the direct, merged-model, and incremental-cache paths cannot drift."""
+    n_features, n_numerators = 2, 2
     docs = _catwalk_docs(spark, sf_dir)
     cand = (
         docs.select(
@@ -621,6 +628,89 @@ def strut_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def catwalk_model_cache(spark: SparkSession, sf_dir: str, cache_dir: str):
+    """Strut incremental rescoring, the ingestion half: the strut model
+    maintained as an incremental FeatureCache (StrutModelCache.java composed
+    with the lastScoredId gather protocol, MiruAggregateUtil.java:136-249) —
+    new activity folds into the model WITHOUT a full retrain.
+
+    The cache is keyed by (feature_id, feature_key, kind) where kind ∈
+    {all, hi, am}: 'all' counts every doc of the feature value (the
+    FeatureScore denominator), 'hi'/'am' count docs whose pivot term is in
+    that numerator's gather set (the numerators). The gather sets are part
+    of the query DEFINITION (CatwalkQuery modelFilters), fixed at model
+    registration — which is precisely what makes incremental folding exact:
+    counts are pure sums over rows. ``update(events)`` aggregates only rows
+    above the recorded lastScoredId (pushed-predicate delta scan) and merges
+    |feature vocabulary| rows, never the fact table."""
+    from miru_spark.operators.feature_cache import FeatureCache
+
+    hi_ids, am_ids = _catwalk_numerator_sets(spark, sf_dir)
+
+    def prepare(ev: DataFrame) -> DataFrame:
+        d = ev.select(
+            "user_id",
+            F.col("event_type").alias("fkey0"),
+            F.concat_ws(
+                "|", "event_type", F.floor(F.col("value") / 25).cast("int").cast("string")
+            ).alias("fkey1"),
+        )
+        feat = d.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("feature_id"), F.col("fkey0").alias("feature_key")),
+                    F.struct(F.lit(1).alias("feature_id"), F.col("fkey1").alias("feature_key")),
+                )
+            ).alias("f"),
+        ).select("user_id", "f.feature_id", "f.feature_key")
+        kinds = F.filter(
+            F.array(
+                F.lit("all"),
+                F.when(F.col("user_id").isin(hi_ids), F.lit("hi")),
+                F.when(F.col("user_id").isin(am_ids), F.lit("am")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return feat.select("feature_id", "feature_key", F.explode(kinds).alias("kind"))
+
+    return FeatureCache(
+        spark,
+        cache_dir,
+        key_cols=["feature_id", "feature_key", "kind"],
+        prepare=prepare,
+        id_col="event_id",
+    )
+
+
+def strut_scores_from_cache(
+    spark: SparkSession, sf_dir: str, cache, k: int = 20
+) -> DataFrame:
+    """Strut incremental rescoring, the serving half: reconstruct the
+    FeatureScore model from the cache's (feature, value, kind) counts (a
+    tiny parquet read bounded by the feature vocabulary — the fact table is
+    never touched) and run the shared scoring tail. Score-identical to
+    strut_scores' full retrain by construction (counts are sums); pinned in
+    tests with a split-ingestion cache."""
+    counts = cache.counts()
+    model = (
+        counts.groupBy("feature_id", "feature_key")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("kind") == "hi", F.col("n"))), F.lit(0)).alias("num_hi"),
+            F.coalesce(F.sum(F.when(F.col("kind") == "am", F.col("n"))), F.lit(0)).alias("num_am"),
+            F.coalesce(F.sum(F.when(F.col("kind") == "all", F.col("n"))), F.lit(0)).alias("denom"),
+        )
+        .select(
+            F.col("feature_id").cast("int"),
+            "feature_key",
+            F.col("num_hi").cast("long"),
+            F.col("num_am").cast("long"),
+            F.col("denom").cast("long"),
+        )
+    )
+    return _strut_rank(spark, sf_dir, model, k)
 
 
 # --- General relational breadth: TPC-H-style agg + 3-way join with a

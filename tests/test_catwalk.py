@@ -154,3 +154,28 @@ def test_strut_scores_identical_from_merged_model(spark, sf_dir):
     via_merged = rel.strut_scores(spark, str(sf_dir)).toPandas()
     assert via_merged["user_id"].tolist() == direct["user_id"].tolist()
     assert via_merged["score"].tolist() == direct["score"].tolist()
+
+
+def test_strut_incremental_rescore_score_identical(spark, sf_dir, tmp_path):
+    """Strut incremental rescoring (StrutModelCache + the lastScoredId
+    gather, MiruAggregateUtil.java:136-249): fold events in TWO ingestion
+    waves through catwalk_model_cache — the second update aggregates only
+    rows above the recorded high water — then score from the cache. Must be
+    score-identical to strut_scores' full retrain, and the second update
+    must NOT have been a full recompute."""
+    import pyspark.sql.functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = int(events.agg(F.percentile_approx("event_id", 0.5)).first()[0])
+    cache = rel.catwalk_model_cache(spark, str(sf_dir), str(tmp_path / "strutcache"))
+    first = cache.update(events.filter(F.col("event_id") <= mid))
+    assert first["full_recompute"]
+    second = cache.update(events)
+    assert not second["full_recompute"] and second["from_id"] == mid
+    assert second["delta_rows"] > 0
+
+    incr = rel.strut_scores_from_cache(spark, str(sf_dir), cache).toPandas()
+    direct = rel.strut_scores(spark, str(sf_dir)).toPandas()
+    assert incr["user_id"].tolist() == direct["user_id"].tolist()
+    for c in ("score_hi", "score_am", "score"):
+        assert incr[c].tolist() == direct[c].tolist(), c

@@ -52,3 +52,33 @@ def test_lsh_buckets_nontrivial(spark, sfdir):
     assert n_total == spark.read.parquet(f"{sfdir}/embeddings.parquet").count()
     assert len(rows) > 4  # vectors actually spread across buckets
     assert max(r["n"] for r in rows) < n_total  # no single-bucket collapse
+
+
+def test_lsh_ann_partitioned_matches_batch_and_prunes(spark, sfdir):
+    """The bucket-partitioned unbounded-N form must be rank-identical to
+    lsh_ann_batch on the same query ids (only the physical strategy
+    differs), and its corpus scan must carry a PartitionFilters prune on
+    the probed buckets — directory pruning, not a full read."""
+    from miru_spark.pipeline.similarity import (
+        build_bucketed_embeddings,
+        lsh_ann_batch,
+        lsh_ann_partitioned,
+    )
+
+    qids = tuple(range(12))
+    part = lsh_ann_partitioned(spark, sfdir, query_ids=qids, k=5)
+    batch = lsh_ann_batch(spark, sfdir, query_ids=qids, k=5)
+    got = [tuple(r) for r in part.select("query_id", "vec_id", "cosine", "rank").collect()]
+    exp = [tuple(r) for r in batch.select("query_id", "vec_id", "cosine", "rank").collect()]
+    assert got == exp
+    # the scan is pruned by the partition column before any row is read
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # never broadcast the query log: the probe join is a shuffle join
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    import os
+
+    root = build_bucketed_embeddings(spark, sfdir)
+    dirs = [d for d in os.listdir(root) if d.startswith("bucket=")]
+    assert len(dirs) > 4  # hive layout: one directory per bucket
