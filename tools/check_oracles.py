@@ -42,7 +42,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write a driver-shaped per-entry result dict (rows_match/"
+        "schema_match/hash_match/spark_rows/oracle_rows/err) to this path — "
+        "the per-round CORRECTNESS_SELF_r{N}.json full-sweep stamp",
+    )
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
@@ -61,10 +69,20 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            err = f"spark error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL  {name}: {err}")
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": err,
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None, "rows_only": True,
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -72,26 +90,45 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            err = f"duckdb error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL  {name}: {err}")
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None, "err": err,
+            }
             continue
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
         ok = True
-        if sc != oc:
+        schema_match = sc == oc
+        rows_match = len(sr) == len(orr)
+        hash_match = sr == orr
+        if not schema_match:
             print(f"FAIL  {name}: columns {sc} vs {oc}")
             ok = False
-        elif len(sr) != len(orr):
+        elif not rows_match:
             print(f"FAIL  {name}: rowcount {len(sr)} vs {len(orr)}")
             ok = False
-        elif sr != orr:
+        elif not hash_match:
             diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:5]
             print(f"FAIL  {name}: values differ; first diffs: {diffs}")
             ok = False
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(sr),
+            "oracle_rows": len(orr), "err": None,
+        }
         if ok:
             print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json_out}")
     if failures:
         print("failed:", failures)
         sys.exit(1)
