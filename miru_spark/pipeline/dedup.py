@@ -261,7 +261,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     return spark.createDataFrame(rows, out.schema) if rows else spark.createDataFrame([], out.schema)
 
 
-def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
+def _propagate_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    *,
+    doubling: bool = True,
+    diag: dict | None = None,
+):
     """Min-label propagation over the MinHash-LSH candidate graph. Returns
     (labels, edges) — labels = (id, label=component min) for every doc that
     touches a candidate edge, BOTH still cached; the caller unpersists after
@@ -292,11 +299,14 @@ def _propagate_labels(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     edges = star.unionAll(
         star.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).cache()
-    return _min_label_iterate(edges, max_iter), edges
+    return _min_label_iterate(edges, max_iter, diag=diag, doubling=doubling), edges
 
 
 def _min_label_iterate(
-    edges: DataFrame, max_iter: int = 20, diag: dict | None = None
+    edges: DataFrame,
+    max_iter: int = 20,
+    diag: dict | None = None,
+    doubling: bool = True,
 ) -> DataFrame:
     """Connected components over a symmetric (id_a, id_b) edge DataFrame via
     min-label propagation WITH pointer doubling. Returns the cached labels
@@ -345,28 +355,34 @@ def _min_label_iterate(
             # per round
             .localCheckpoint()
         )
-        # pointer doubling (union-find path halving): l(v) <- l(l(v)).
-        # Star edges shrank the edge list from cliques to O(bands*N) but grew
-        # the graph DIAMETER — a doc in two buckets bridges their hubs, so a
-        # min label crosses each bridge in 2 hops and plain neighbor-min
-        # propagation went from 2-4 rounds (cliques) to >20 at 1M docs
-        # (measured: the r3 sweep failed loud here). Shortcutting through the
-        # label mapping itself (labels are node ids, label(v) <= v, so
-        # label(label(v)) <= label(v)) makes each round compose mappings —
-        # O(log diameter) rounds total; 20 covers diameter 2^20.
-        short = stepped.select(F.col("id").alias("label"), F.col("label").alias("ll"))
-        new_labels = (
-            stepped.join(short, "label", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
+        if doubling:
+            # pointer doubling (union-find path halving): l(v) <- l(l(v)).
+            # Star edges shrank the edge list from cliques to O(bands*N) but
+            # grew the graph DIAMETER — a doc in two buckets bridges their
+            # hubs, so a min label crosses each bridge in 2 hops and plain
+            # neighbor-min propagation went from 2-4 rounds (cliques) to >20
+            # at 1M docs (measured: the r3 sweep failed loud here).
+            # Shortcutting through the label mapping itself (labels are node
+            # ids, label(v) <= v, so label(label(v)) <= label(v)) makes each
+            # round compose mappings — O(log diameter) rounds total; 20
+            # covers diameter 2^20. `doubling=False` exists for the A/B that
+            # prices this extra self-join per round (tools/survivors_ab.py).
+            short = stepped.select(F.col("id").alias("label"), F.col("label").alias("ll"))
+            new_labels = (
+                stepped.join(short, "label", "left")
+                .select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
+                )
+                .localCheckpoint()  # eager: materialized before old labels release
             )
-            .localCheckpoint()  # eager: materialized before old labels release
-        )
+        else:
+            new_labels = stepped
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         # release the previous round's checkpoint storage — without this,
         # up to max_iter full label copies stay pinned until driver GC
-        stepped.unpersist()
+        if new_labels is not stepped:
+            stepped.unpersist()
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
@@ -387,7 +403,14 @@ def _min_label_iterate(
     return labels
 
 
-def dedup_survivors(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+def dedup_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    *,
+    _doubling: bool = True,
+    _diag: dict | None = None,
+) -> DataFrame:
     """The corpus AFTER near-dup removal — what a training-data pipeline
     actually ships: keep the min-doc_id member of every LSH candidate
     component, drop the rest. Non-keepers come off the propagated label set
@@ -395,7 +418,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Dat
     the dropped set can be a large fraction of the corpus at scale).
     Output per-lang (n_docs, n_survivors, n_dropped) — compact, and any
     keeper-selection drift flips the counts."""
-    labels, edges = _propagate_labels(spark, sf_dir, max_iter)
+    labels, edges = _propagate_labels(
+        spark, sf_dir, max_iter, doubling=_doubling, diag=_diag
+    )
     nonkeep = labels.filter(F.col("id") != F.col("label")).select(
         F.col("id").alias("doc_id")
     )
