@@ -503,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": dedup.decontaminate,  # benchmark n-gram hygiene
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        # cross-snapshot refresh: admit a new crawl batch vs the standing
+        # corpus digests+fingerprints (never re-dedups the corpus)
+        "dedup_incremental": dedup.dedup_incremental,
         # similarity search
         "cosine_topk": similarity.cosine_topk_bruteforce,
         "ivf_topk": similarity.ivf_topk,  # full-SQL IVF oracle (_ivf_oracle_sql)
@@ -1032,6 +1035,29 @@ pairs AS (
   FROM chunks a JOIN chunks b
     ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+""",
+        # Full cross-check (no pigeonhole) on purpose: 4x16-bit chunking is
+        # COMPLETE for hamming<=3, so Spark's bucketed candidate join must
+        # equal this exhaustive form exactly.
+        "dedup_incremental": simhash_cte
+        + """,
+batch AS (SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+baseh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+flags AS (
+  SELECT b.doc_id, b.source,
+         b.h IN (SELECT h FROM baseh) AS is_exact,
+         EXISTS (
+           SELECT 1 FROM fp fa, fp fb
+           WHERE fb.doc_id = b.doc_id AND fa.doc_id % 10 <> 0
+             AND bit_count(xor(fa.simhash, fb.simhash)) <= 3
+         ) AS is_near
+  FROM batch b)
+SELECT source,
+       count(*)::BIGINT AS n_batch,
+       coalesce(sum(CASE WHEN is_exact THEN 1 ELSE 0 END), 0)::BIGINT AS n_exact_dup,
+       coalesce(sum(CASE WHEN NOT is_exact AND is_near THEN 1 ELSE 0 END), 0)::BIGINT AS n_near_dup,
+       coalesce(sum(CASE WHEN NOT is_exact AND NOT is_near THEN 1 ELSE 0 END), 0)::BIGINT AS n_admitted
+FROM flags GROUP BY source ORDER BY source
 """,
         "cosine_topk": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -308,16 +308,34 @@ def lsh_ann_partitioned(
     Rank-identical to lsh_ann_batch on the same query ids (pinned in
     tests); the only difference is the physical strategy."""
     path = build_bucketed_embeddings(spark, sf_dir, n_planes)
-    corpus = spark.read.parquet(path)
-    q = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id").isin(list(query_ids)))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qv"),
-            _norm(F.col("embedding")).alias("nq"),
-            _lsh_bucket_col(n_planes).alias("qb"),
-        )
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    df, _ = ann_partitioned_topk(spark, path, queries, k=k, n_planes=n_planes)
+    return df
+
+
+def ann_partitioned_topk(
+    spark: SparkSession,
+    bucketed_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    prune: bool = True,
+) -> tuple:
+    """Core of the unbounded-N partitioned ANN join (shared by the sf-dir
+    gate wrapper above and tools/ann_partitioned_bench.py's 1M×1k run).
+
+    ``queries`` must have columns (qid, qv: array<float>). Returns
+    ``(topk_df, probed_buckets)`` so callers can report the pruning
+    fraction — the scan provably touches only ``probed_buckets`` of the
+    bucket vocabulary (PartitionFilters on the hive partition column)."""
+    corpus = spark.read.parquet(bucketed_path)
+    q = queries.select(
+        "qid",
+        "qv",
+        _norm(F.col("qv")).alias("nq"),
+        _lsh_bucket_col(n_planes, col=F.col("qv")).alias("qb"),
     )
     probes = q.select(
         "qid",
@@ -335,7 +353,10 @@ def lsh_ann_partitioned(
     bucket_list = sorted(
         int(r["probe"]) for r in probes.select("probe").distinct().collect()
     )
-    cand = corpus.filter(F.col("bucket").isin(bucket_list)).join(
+    if prune:  # prune=False exists ONLY for the bench A/B that measures
+        # what directory pruning is worth; production always prunes.
+        corpus = corpus.filter(F.col("bucket").isin(bucket_list))
+    cand = corpus.join(
         probes.hint("shuffle_hash"),  # never broadcast a query LOG
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
     )
@@ -349,16 +370,20 @@ def lsh_ann_partitioned(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+    return out, bucket_list
 
 
-def _lsh_bucket_col(n_planes: int = 8, dim: int = 64) -> Column:
+def _lsh_bucket_col(n_planes: int = 8, dim: int = 64, col: Column | None = None) -> Column:
     """Random-hyperplane LSH bucket id (sign bits from deterministic
-    md5-of-literal planes — Catalyst folds the hashes at plan time)."""
+    md5-of-literal planes — Catalyst folds the hashes at plan time).
+    ``col`` defaults to the corpus ``embedding`` column; pass the query
+    vector column when bucketing a probe relation."""
+    vec = F.col("embedding") if col is None else col
     bits = []
     for j in range(n_planes):
         comps = [
@@ -368,7 +393,7 @@ def _lsh_bucket_col(n_planes: int = 8, dim: int = 64) -> Column:
             )
             for i in range(dim)
         ]
-        dot = _dot(F.col("embedding"), F.array(*comps))
+        dot = _dot(vec, F.array(*comps))
         bits.append(F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0)))
     return sum(bits).cast("int")
 
