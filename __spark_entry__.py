@@ -371,6 +371,61 @@ FROM s QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def _ivf_train_oracle_sql(k: int = 4) -> str:
+    """ivf_train oracle: the ENTIRE 2-iteration deterministic Lloyd's
+    program in SQL. Mirrors the Spark contract exactly: seeds = k smallest
+    vec_ids; assignment = squared-L2 argmin on 9-dp-ROUNDED distances with
+    ties to the lower cluster id; update = element-wise mean ROUNDED 6 dp
+    before the next iteration (round-then-compare on BOTH engines — the
+    repo's standard float parity protocol)."""
+
+    def dist(cent_cte: str) -> str:
+        return (
+            f"SELECT e.vec_id, s.cluster,"
+            f" round(sum((e.v[p.i] - s.c[p.i]) * (e.v[p.i] - s.c[p.i])), 9) AS d"
+            f" FROM e CROSS JOIN pos p CROSS JOIN {cent_cte} s"
+            f" GROUP BY e.vec_id, s.cluster"
+        )
+
+    def argmin(d_cte: str) -> str:
+        return (
+            f"SELECT vec_id, cluster FROM ("
+            f" SELECT vec_id, cluster,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn"
+            f" FROM {d_cte}) WHERE rn = 1"
+        )
+
+    def update(a_cte: str) -> str:
+        return (
+            f"SELECT cluster, list(m ORDER BY i) AS c FROM ("
+            f" SELECT {a_cte}.cluster AS cluster, p.i AS i,"
+            f" round(avg(e.v[p.i]), 6) AS m"
+            f" FROM e JOIN {a_cte} USING (vec_id) CROSS JOIN pos p"
+            f" GROUP BY {a_cte}.cluster, p.i)"
+            f" GROUP BY cluster"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (SELECT unnest(range(1, 65))::INT AS i),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM e ORDER BY vec_id LIMIT {k}),
+d0 AS ({dist('seeds')}),
+a0 AS ({argmin('d0')}),
+c1 AS ({update('a0')}),
+d1 AS ({dist('c1')}),
+a1 AS ({argmin('d1')}),
+c2 AS ({update('a1')}),
+d2 AS ({dist('c2')}),
+a2 AS ({argmin('d2')}),
+sizes AS (SELECT cluster, count(*) AS n FROM a2 GROUP BY cluster),
+cent AS (SELECT cluster, p.i - 1 AS pos, c[p.i] AS val FROM c2 CROSS JOIN pos p)
+SELECT cent.cluster AS cluster, sizes.n AS n, cent.pos AS pos, cent.val AS val
+FROM cent JOIN sizes USING (cluster) ORDER BY cluster, pos
+"""
+
+
 # shingle CTE shared by ngram/minhash oracles (3-token shingles, distinct)
 _SHINGLE_CTE = f"""
 tokarr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -509,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk_bruteforce,
         "ivf_topk": similarity.ivf_topk,  # full-SQL IVF oracle (_ivf_oracle_sql)
+        # deterministic distributed Lloyd's k-means — IVF codebook training
+        "ivf_train": similarity.ivf_train,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -1159,6 +1216,7 @@ FROM flat GROUP BY lang ORDER BY lang
         ),
         "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
+        "ivf_train": _ivf_train_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

@@ -82,3 +82,45 @@ def test_lsh_ann_partitioned_matches_batch_and_prunes(spark, sfdir):
     root = build_bucketed_embeddings(spark, sfdir)
     dirs = [d for d in os.listdir(root) if d.startswith("bucket=")]
     assert len(dirs) > 4  # hive layout: one directory per bucket
+
+
+def test_ivf_train_matches_numpy_lloyds(spark, sfdir):
+    """ivf_train's deterministic contract (seed-by-id, 9-dp-rounded argmin,
+    6-dp-rounded means) re-implemented in numpy on the collected corpus must
+    reproduce the distributed result exactly — partitioning can't leak in."""
+    import numpy as np
+
+    from miru_spark.pipeline.similarity import ivf_train
+
+    k, n_iter = 4, 2
+    got = ivf_train(spark, sfdir, k=k, n_iter=n_iter).collect()
+
+    rows = (
+        spark.read.parquet(f"{sfdir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows], dtype=np.float64)
+    cents = X[:k].copy()
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
+        return d.argmin(axis=1)  # argmin ties -> lowest index, same rule
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        cents = np.array([X[a == j].mean(axis=0).round(6) for j in range(k)])
+    a = assign(cents)
+
+    exp = {}
+    n_per = {j: int((a == j).sum()) for j in range(k)}
+    for j in range(k):
+        for p in range(X.shape[1]):
+            exp[(j, p)] = (n_per[j], round(float(cents[j, p]), 6))
+    assert len(got) == k * X.shape[1]
+    for r in got:
+        n, val = exp[(r["cluster"], r["pos"])]
+        assert r["n"] == n
+        assert round(r["val"], 6) == val
+    assert sum(n_per.values()) == X.shape[0]
