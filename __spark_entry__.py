@@ -596,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": text.lang_id,
         "stratified_split": text.stratified_split,  # deterministic hash train/val/test
         "ngram_repetition": text.ngram_repetition,  # within-doc dup-shingle quality signal
+        # per-source quota capping (corpus balancing) — deterministic hash sample
+        "domain_quota_sample": text.domain_quota_sample,
         "doc_fingerprints": text.doc_fingerprints,
         "winnow_fingerprints": text.winnow_fingerprints,  # MOSS rolling hash
     }
@@ -1188,6 +1190,19 @@ r AS (SELECT lang, round((n3 - nd) * 1000000.0 / greatest(n3, 1))::BIGINT AS rep
 SELECT lang, count(*)::BIGINT AS n_docs, sum(rep_ppm)::BIGINT AS sum_rep_ppm,
        sum(CASE WHEN rep_ppm >= 200000 THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
 FROM r GROUP BY 1 ORDER BY 1
+""",
+        "domain_quota_sample": """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(md5('quota#' || doc_id::VARCHAR), 1, 12))::BIGINT AS h
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM d),
+k AS (SELECT * FROM r WHERE rk <= 10),
+t AS (SELECT source, count(*)::BIGINT AS n_total FROM d GROUP BY source)
+SELECT t.source AS source, t.n_total AS n_total, count(*)::BIGINT AS n_kept,
+       sum(k.doc_id)::BIGINT AS kept_id_sum, sum(k.n_chars)::BIGINT AS kept_chars
+FROM t JOIN k ON t.source = k.source
+GROUP BY t.source, t.n_total ORDER BY source
 """,
         "winnow_fingerprints": f"""
 WITH tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),

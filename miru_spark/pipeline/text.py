@@ -350,3 +350,77 @@ def ngram_repetition(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _hash48(col, salt: str):
+    """Salted 48-bit md5 bucket — the same portable hash the split/dedup
+    family uses (DuckDB side: ('0x' || substr(md5(...),1,12))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 12), 16, 10
+    ).cast("long")
+
+
+def quota_sample(docs: DataFrame, quota: int, id_col: str = "doc_id",
+                 group_col: str = "source") -> DataFrame:
+    """Core of `domain_quota_sample` over any (id, group, ...) relation:
+    keep, per group, the `quota` rows with the smallest salted-48-bit
+    md5(id) — a deterministic uniform sample, reproducible across runs,
+    repartition-stable, never rand(). Returns the kept rows + `n_total`.
+
+    Scale shape: the naive form is one window partitioned by group — one
+    fat task per hot domain (the training_shards lesson: domain skew is the
+    norm in crawl data). Instead: (1) per-group counts (map-side-combined
+    agg, |groups| rows) broadcast back; (2) groups with n <= 4*quota keep
+    every row for the exact window (already O(quota)-sized); bigger groups
+    pre-filter MAP-SIDE to the smallest 2*quota/n fraction of hash space,
+    so E[window input] = 2*quota rows per group regardless of skew — the
+    window task is O(quota) even for a group holding half the corpus.
+    The pre-filter is an optimization with a LOUD failure mode, not a
+    semantics change: for it to starve a group below quota, fewer than
+    quota of n uniform hashes would have to land below 2*quota/n
+    (Chernoff: P < exp(-quota/4); deterministic per corpus) — and
+    `domain_quota_sample`'s audit raises on that instead of shipping a
+    biased sample, so the contract stays exactly top-quota-by-hash."""
+    h = _hash48(F.col(id_col), "quota#")
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_total"))
+    joined = docs.withColumn("_h", h).join(F.broadcast(counts), group_col)
+    thresh = (F.lit(2.0 * quota * float(2**48)) / F.col("n_total")).cast("long")
+    pre = joined.filter(
+        (F.col("n_total") <= F.lit(4 * quota)) | (F.col("_h") < thresh)
+    )
+    w = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_h", "_rk")
+    )
+
+
+def domain_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 10) -> DataFrame:
+    """Per-source quota capping — the corpus-balancing op a training
+    pipeline runs so one crawl domain cannot dominate the mixture. Audit
+    output per source: (source, n_total, n_kept, kept_id_sum, kept_chars);
+    kept_id_sum is the integer checksum of WHICH docs were kept (order-
+    insensitive, exact on both engines). n_kept is wrapped in a loud
+    runtime check: if the scale pre-filter in `quota_sample` ever starved
+    a source below min(n_total, quota), the plan raises instead of
+    returning a biased sample."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    kept = quota_sample(docs, quota)
+    audit = kept.groupBy("source", "n_total").agg(
+        F.count("*").alias("n_kept_raw"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    expected = F.least(F.col("n_total"), F.lit(quota))
+    n_kept = F.when(
+        F.col("n_kept_raw") < expected,
+        F.raise_error(
+            F.concat(
+                F.lit("quota_sample pre-filter starved source "), F.col("source")
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_kept_raw"))
+    return audit.select(
+        "source", "n_total", n_kept.alias("n_kept"), "kept_id_sum", "kept_chars"
+    ).orderBy("source")

@@ -54,3 +54,36 @@ def test_ngram_repetition_flags_repeats(spark, tmp_path):
     assert r["n_repetitive"] == 1  # only doc 0 crosses 20%
     # doc 0: 58 shingles, 3 distinct -> (58-3)/58 ≈ 948276 ppm
     assert 940000 < r["sum_rep_ppm"] < 960000
+
+
+def test_quota_sample_prefilter_branch_is_exact(spark):
+    """A skewed corpus (one source holding ~94% of rows) forces the
+    big-source pre-filter branch; its output must equal the plain-window
+    definition exactly — the pre-filter is an optimization, not a
+    semantics change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from miru_spark.pipeline.text import _hash48, quota_sample
+
+    quota = 7
+    rows = [(i, "hot" if i < 500 else f"cold{i % 4}", i % 97) for i in range(532)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = (
+        quota_sample(df, quota)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    exp = (
+        df.withColumn("_h", _hash48(F.col("doc_id"), "quota#"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # the hot source (500 rows > 4*quota) was pre-filtered yet kept its quota
+    assert sum(1 for r in got if r["source"] == "hot") == quota
