@@ -114,6 +114,9 @@ def main() -> None:
         # merge, bucket-partitioned unbounded-N ANN
         "ft_bm25_or_timerange", "ft_not_only", "ft_bm25_stopworded_de",
         "catwalk_merged", "lsh_ann_partitioned",
+        # round-4 additions: IVF codebook training (distributed Lloyd's),
+        # per-source corpus balancing under domain skew
+        "ivf_train", "domain_quota_sample",
     ]
     qmap = entry.queries()
     for name in headline:
