@@ -226,6 +226,11 @@ def merge_segments(spark: SparkSession, index_dir: str, fanin: int | None = None
         meta_local.join(F.broadcast(off_df), "pid")
         .select((F.col("local_doc_id") + F.col("_off")).alias("doc_id"), *meta_cols)
         .write.mode("overwrite")
+        # bounded row groups so id-pruned serving reads (_sparse_col /
+        # _docmeta_for: rare-term doc_len fetch, top-k gather) touch
+        # ~8 MiB per hit instead of a whole ~2M-row file group — the same
+        # query-prunability bound the merged postings carry
+        .option("parquet.block.size", 8 * 1024 * 1024)
         .parquet(os.path.join(index_dir, "doc_meta"))
     )
 

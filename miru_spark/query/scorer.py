@@ -116,6 +116,69 @@ def _dataset(index_dir: str, part: str) -> pads.Dataset:
     return ds
 
 
+# Above this many ids the sparse filtered read stops paying (it touches
+# min(|ids|, row groups) groups; a big spread set degenerates to the full
+# scan plus filter overhead) — fall back to the dense cached array.
+_SPARSE_IDS_MAX = 65536
+
+
+class _SparseCol:
+    """Driver-side docID → value map fetched with a row-group-pruned isin
+    read — numpy-fancy-indexable like the dense array, but it touches only
+    the row groups containing the requested ids. This is the first-query /
+    rare-term serving shape at large N: the 100M-doc run measured the dense
+    doc_len+meta materialization at minutes of wall for a 1-hit query."""
+
+    def __init__(self, ids: np.ndarray, vals: np.ndarray):
+        o = np.argsort(ids)
+        self._ids = ids[o]
+        self._vals = vals[o]
+
+    def __getitem__(self, idx):
+        return self._vals[np.searchsorted(self._ids, idx)]
+
+
+def _sparse_col(index_dir: str, column: str, ids: np.ndarray) -> _SparseCol:
+    want = np.unique(np.asarray(ids, dtype=np.int64))
+    t = _dataset(index_dir, "doc_meta").to_table(
+        columns=["doc_id", column],
+        filter=pads.field("doc_id").isin(want.tolist()),
+    )
+    got = np.asarray(t.column("doc_id"), dtype=np.int64)
+    if got.size != want.size:
+        raise ValueError(
+            f"doc_meta is missing {want.size - got.size} of {want.size} ids"
+        )
+    return _SparseCol(got, np.asarray(t.column(column), dtype=np.int64))
+
+
+def _doclens_for(index_dir: str, postings: dict, ast) -> "np.ndarray | _SparseCol":
+    """Doc-length provider for one query: the cached dense array when it
+    already exists (or must — termless-matchable shapes draw candidates
+    from index masks, not postings), else a sparse fetch of the posting
+    universe when it is small. Never populates the dense cache itself."""
+    key = (index_dir, _index_generation(index_dir))
+    if key in _DOCLEN_CACHE or qp.can_match_termless(ast):
+        return _doclens(index_dir)
+    sizes = sum(p[0].size for p in postings.values())
+    if not postings or sizes > _SPARSE_IDS_MAX:
+        return _doclens(index_dir)
+    uni = np.unique(np.concatenate([p[0] for p in postings.values()]))
+    return _sparse_col(index_dir, "doc_len", uni)
+
+
+def _docts_for(index_dir: str, cand: np.ndarray) -> "np.ndarray | _SparseCol":
+    """Doc-time provider for a KNOWN candidate set: dense cache if present,
+    sparse row-group-pruned fetch when the set is small."""
+    key = (index_dir, "ts", _index_generation(index_dir))
+    if key in _DOCLEN_CACHE or cand.size > _SPARSE_IDS_MAX:
+        return _docts(index_dir)
+    ds = _dataset(index_dir, "doc_meta")
+    if "ts" not in ds.schema.names:
+        raise ValueError("index has no doc-time column (built without ts)")
+    return _sparse_col(index_dir, "ts", cand)
+
+
 def _doclens(index_dir: str) -> np.ndarray:
     """Dense docID → doc_len array. Driver-side cache — fine for the serving
     path at partition scale; the distributed path joins instead."""
@@ -164,6 +227,26 @@ def _docmeta(index_dir: str) -> pd.DataFrame:
         )
         _DOCMETA_CACHE[key] = meta
     return meta
+
+
+def _docmeta_for(index_dir: str, ids: np.ndarray) -> pd.DataFrame:
+    """Gather source for a KNOWN top-k id set: the cached full table when
+    one exists, else a row-group-pruned isin read of just those ids — at
+    large N the dense form is a multi-GB driver materialization to gather
+    k<=100 rows (the 100M-doc run's dominant serving cost)."""
+    key = (index_dir, _index_generation(index_dir))
+    if key in _DOCMETA_CACHE or ids.size > 1000:
+        return _docmeta(index_dir)
+    return (
+        _dataset(index_dir, "doc_meta")
+        .to_table(
+            columns=["doc_id", "repo", "path", "commit", "lang"],
+            filter=pads.field("doc_id").isin(
+                np.unique(np.asarray(ids, dtype=np.int64)).tolist()
+            ),
+        )
+        .to_pandas()
+    )
 
 
 def load_postings(
@@ -481,7 +564,7 @@ def search_local(
     pure_or = isinstance(ast, (qp.Term, qp.Or)) and all(
         isinstance(c, qp.Term) for c in getattr(ast, "children", ())
     )
-    doclens = _doclens(index_dir)
+    doclens = _doclens_for(index_dir, postings, ast)
     removed = removal.removed_array(index_dir)
     # WAND θ is seeded from unfiltered single-term scores, so ANY candidate
     # mask that θ doesn't account for (lang/repo/time) makes pruning unsound
@@ -505,7 +588,7 @@ def search_local(
     if removed.size:
         cand = _setdiff_sorted(cand, removed)
     if time_range is not None:
-        ts = _docts(index_dir)
+        ts = _docts_for(index_dir, cand)
         cand = cand[(ts[cand] >= time_range[0]) & (ts[cand] <= time_range[1])]
     if lang_filter:  # roaring AND into the candidate set (container-skipping)
         cand = roaring.and_array(load_filter_bitmap(index_dir, "lang", lang_filter), cand)
@@ -519,7 +602,7 @@ def search_local(
     order = np.lexsort((cand, scores))[::-1][:kk]  # (score desc, docID desc)
     top = pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
     if gather:  # lazy gather of stored fields (miru's Promise gather, FullText.java:204-218)
-        meta = _docmeta(index_dir)
+        meta = _docmeta_for(index_dir, top["doc_id"].to_numpy())
         top = top.merge(meta, on="doc_id", how="left")
     return top.reset_index(drop=True)
 

@@ -133,3 +133,27 @@ def test_wand_topk_property(data):
     order = np.lexsort((cand, scores))[::-1][:kk]
     np.testing.assert_array_equal(cand[order], exp_docs[:kk])
     np.testing.assert_allclose(scores[order], exp_scores[:kk], rtol=1e-12)
+
+
+def test_sparse_serving_reads_match_dense(tiny_index):
+    """Cold-cache serving of a small-universe query takes the sparse
+    row-group-pruned read path (_sparse_col / _docmeta_for); its results
+    must be identical to the dense-cache path, and it must not populate
+    the dense caches it exists to avoid."""
+    import numpy as np
+
+    from miru_spark.query import scorer as sc
+
+    gen = sc._index_generation(tiny_index)
+    for q in ("rareterm0", "merge AND sort"):
+        sc._DOCLEN_CACHE.pop((tiny_index, gen), None)
+        sc._DOCMETA_CACHE.pop((tiny_index, gen), None)
+        cold = sc.search_local(tiny_index, q, k=10)
+        assert (tiny_index, gen) not in sc._DOCLEN_CACHE
+        assert (tiny_index, gen) not in sc._DOCMETA_CACHE
+        sc._doclens(tiny_index)  # warm the dense caches
+        sc._docmeta(tiny_index)
+        warm = sc.search_local(tiny_index, q, k=10)
+        assert cold["doc_id"].tolist() == warm["doc_id"].tolist(), q
+        assert np.allclose(cold["score"], warm["score"])
+        assert cold["path"].tolist() == warm["path"].tolist(), q
