@@ -341,6 +341,24 @@ def ranges(node: Node) -> set[Range]:
     return set()
 
 
+def filter_fields(node: Node) -> set[str]:
+    """Field names referenced by non-scored Field/Range clauses anywhere in
+    the tree — the ONLY doc_meta columns the distributed/batch scorers must
+    carry through the scoring aggregation. Display fields (repo/path/commit/
+    lang when not filtered on) gather post-top-k from k rows instead of
+    riding the widest exchange in the plan."""
+    if isinstance(node, (Field, Range)):
+        return {node.field}
+    if isinstance(node, (And, Or, Xor)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= filter_fields(c)
+        return out
+    if isinstance(node, Not):
+        return filter_fields(node.positive) | filter_fields(node.negative)
+    return set()
+
+
 def can_match_termless(node: Node) -> bool:
     """True if a doc with ZERO term/prefix hits could still match — i.e. the
     AST evaluated with every Term/Prefix leaf forced False is satisfiable

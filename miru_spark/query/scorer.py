@@ -249,6 +249,36 @@ def _docmeta_for(index_dir: str, ids: np.ndarray) -> pd.DataFrame:
     )
 
 
+def _gather_display_fields(top: DataFrame, index_dir: str) -> DataFrame:
+    """Attach stored display fields (repo/path/commit/lang) to a top-k
+    result AFTER the limit (miru's lazy Promise gather, FullText.java:
+    204-218, applied to the distributed paths).
+
+    Before round 4 the distributed scorers joined the full doc_meta into
+    the posting-hits relation, so four string columns crossed the scoring
+    join and the per-doc aggregation's exchange — at 100M docs, the widest
+    shuffle in the plan — to survive in only k rows. Here the scoring plan
+    carries nothing but doc_id/score (plus AST-referenced filter fields)
+    and the k surviving rows gather their fields via the same row-group-
+    pruned doc_meta read the serving path uses (`_docmeta_for`): executor-
+    side mapInPandas, no exchange, touches only the row groups covering
+    the k ids (0.3 s for 512 of 1.04M rows at 100M docs, BENCH_100M_Q2)."""
+    names = [f.name for f in top.schema.fields] + ["repo", "path", "commit", "lang"]
+    out_schema = T.StructType(
+        list(top.schema.fields)
+        + [T.StructField(c, T.StringType()) for c in ("repo", "path", "commit", "lang")]
+    )
+
+    def gather(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _docmeta_for(index_dir, pdf["doc_id"].to_numpy())
+            yield pdf.merge(m, on="doc_id", how="left")[names]
+
+    return top.mapInPandas(gather, schema=out_schema)
+
+
 def load_postings(
     index_dir: str, terms: set[str]
 ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
@@ -722,13 +752,20 @@ def search_distributed(
         # index BEFORE the join — out-of-range docs never enter scoring;
         # df/avgdl/N stay corpus-global (mask-only semantics)
         meta = meta.filter(F.col("ts").between(time_range[0], time_range[1]))
-    meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
-        ["ts"] if has_ts else []  # ts:[..] range clauses evaluate post-agg
-    )
+    # lang/repo candidate masks push into the same scan (inner join on
+    # doc_id → masked docs never enter scoring; statistics stay global)
+    if lang_filter:
+        meta = meta.filter(F.col("lang").isin(lang_filter))
+    if repo_filter:
+        meta = meta.filter(F.col("repo").isin(repo_filter))
+    # the scoring plan carries ONLY doc_len + AST-referenced filter fields;
+    # display fields gather post-top-k (_gather_display_fields)
+    cond_fields = sorted(qp.filter_fields(ast) - {"doc_id", "doc_len"})
+    meta_cols = ["doc_id", "doc_len"] + cond_fields
     removed = removal.removed_array(index_dir)
 
     cond = _ast_to_condition(ast, expansions)
-    out_cols = ["doc_id", "score", "repo", "path", "commit", "lang"]
+    out_cols = ["doc_id", "score"]  # display fields gather post-top-k
     agg = out = None
     if needed:
         merged = (
@@ -778,13 +815,7 @@ def search_distributed(
         aggs = [
             F.collect_set("term").alias("mts"),
             F.sum("contrib").alias("score"),
-            F.first("repo").alias("repo"),
-            F.first("path").alias("path"),
-            F.first("commit").alias("commit"),
-            F.first("lang").alias("lang"),
-        ]
-        if has_ts:
-            aggs.append(F.first("ts").alias("ts"))
+        ] + [F.first(c).alias(c) for c in cond_fields]
         agg = scored.groupBy("doc_id").agg(*aggs)
         out = agg.filter(cond)
 
@@ -808,14 +839,13 @@ def search_distributed(
             out = out.select(*out_cols).unionByName(extra.select(*out_cols))
         else:
             out = extra
-    if lang_filter:
-        out = out.filter(F.col("lang").isin(lang_filter))
-    if repo_filter:
-        out = out.filter(F.col("repo").isin(repo_filter))
-    return (
+    top = (
         out.select(*out_cols)
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)
+    )
+    return _gather_display_fields(top, index_dir).orderBy(
+        F.desc("score"), F.desc("doc_id")
     )
 
 
@@ -871,9 +901,6 @@ def search_batch(
 
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
     has_ts = "ts" in meta.columns
-    meta_cols = ["doc_id", "doc_len", "repo", "path", "commit", "lang"] + (
-        ["ts"] if has_ts else []
-    )
 
     live: list[tuple[int, object, dict]] = []  # (qid, ast, expansions)
     union_needed: set[str] = set()
@@ -912,8 +939,15 @@ def search_batch(
         return spark.createDataFrame([], out_schema)
     termless_live = [x for x in live if qp.can_match_termless(x[1])]
 
+    # scoring plan carries ONLY doc_len + the union of the live queries'
+    # AST-referenced filter fields; display fields gather post-top-k
+    cond_fields = sorted(
+        set().union(*(qp.filter_fields(a) for _, a, _ in live)) - {"doc_id", "doc_len"}
+    )
+    meta_cols = ["doc_id", "doc_len"] + cond_fields
+
     removed = removal.removed_array(index_dir)
-    out_cols = ["query_id", "doc_id", "score", "repo", "path", "commit", "lang"]
+    out_cols = ["query_id", "doc_id", "score"]
     agg = out = None
     if union_needed:
         # (query_id, term, scoring) fan-out table — tiny, broadcast
@@ -971,13 +1005,7 @@ def search_batch(
         aggs = [
             F.collect_set("term").alias("mts"),
             F.sum("contrib").alias("score"),
-            F.first("repo").alias("repo"),
-            F.first("path").alias("path"),
-            F.first("commit").alias("commit"),
-            F.first("lang").alias("lang"),
-        ]
-        if has_ts:
-            aggs.append(F.first("ts").alias("ts"))
+        ] + [F.first(c).alias(c) for c in cond_fields]
         agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
 
         # flat CASE over query_id: each query's AST condition appears exactly once
@@ -1008,15 +1036,11 @@ def search_batch(
         extra = (
             mmeta.withColumn("qids", matches)
             .filter(F.size("qids") > 0)
-            .select(F.explode("qids").alias("q"), "doc_id", "repo", "path", "commit", "lang")
+            .select(F.explode("qids").alias("q"), "doc_id")
             .select(
                 F.col("q.qid").alias("query_id"),
                 "doc_id",
                 F.lit(0.0).alias("score"),
-                "repo",
-                "path",
-                "commit",
-                "lang",
             )
         )
         if removed.size:
@@ -1033,10 +1057,11 @@ def search_batch(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
-    return (
-        out.withColumn("rank", F.row_number().over(w))
+    top = (
+        out.select(*out_cols)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "doc_id", "score", "rank", "repo", "path", "commit", "lang"
-        )
+    )
+    return _gather_display_fields(top, index_dir).select(
+        "query_id", "doc_id", "score", "rank", "repo", "path", "commit", "lang"
     )
