@@ -647,13 +647,26 @@ _POSTING_ROW_SCHEMA = T.StructType(
 )
 
 
-def _ast_to_condition(node, expansions) -> F.Column:
-    """AST → boolean Column over the per-doc matched-terms set column `mts`.
+def _ast_to_condition(node, expansions, term_bits=None) -> F.Column:
+    """AST → boolean Column over the per-doc matched-terms aggregate.
+
+    Two physical encodings of "which of the query's terms this doc matched":
+
+    - ``term_bits=None``: a string-set column `mts` (collect_set agg state) —
+      the general form, used when a query set needs more than 63 distinct
+      terms.
+    - ``term_bits={term: bit_index}``: ONE long column `mbits` (bit_or agg
+      state). Term membership is a bitwise AND against a literal mask. This
+      is the common serving case (≤63 distinct terms across the query/batch)
+      and shrinks the per-group aggregation state crossing the plan's widest
+      exchange from an array of strings to 8 bytes.
 
     Evaluating the SAME condition over a row whose `mts` is the empty array
-    yields the query's termless-match predicate — the doc_meta candidate
-    branch reuses this directly (see search_distributed)."""
+    (or `mbits` = 0) yields the query's termless-match predicate — the
+    doc_meta candidate branch reuses this directly (see search_distributed)."""
     if isinstance(node, qp.Term):
+        if term_bits is not None:
+            return F.col("mbits").bitwiseAND(F.lit(1 << term_bits[node.term])) != 0
         return F.array_contains("mts", node.term)
     if isinstance(node, qp.All):
         return F.lit(True)
@@ -665,29 +678,48 @@ def _ast_to_condition(node, expansions) -> F.Column:
         terms = expansions.get(node.prefix, [])
         if not terms:
             return F.lit(False)
+        if term_bits is not None:
+            mask = 0
+            for t in terms:
+                mask |= 1 << term_bits[t]
+            return F.col("mbits").bitwiseAND(F.lit(mask)) != 0
         return F.arrays_overlap("mts", F.array(*[F.lit(t) for t in terms]))
     if isinstance(node, qp.And):
         out = F.lit(True)
         for c in node.children:
-            out = out & _ast_to_condition(c, expansions)
+            out = out & _ast_to_condition(c, expansions, term_bits)
         return out
     if isinstance(node, qp.Or):
         out = F.lit(False)
         for c in node.children:
-            out = out | _ast_to_condition(c, expansions)
+            out = out | _ast_to_condition(c, expansions, term_bits)
         return out
     if isinstance(node, qp.Not):
-        return _ast_to_condition(node.positive, expansions) & ~_ast_to_condition(
-            node.negative, expansions
+        return _ast_to_condition(node.positive, expansions, term_bits) & ~_ast_to_condition(
+            node.negative, expansions, term_bits
         )
     if isinstance(node, qp.Xor):
         # odd-membership count — xor as modular arithmetic over child matches
         total = sum(
-            F.when(_ast_to_condition(c, expansions), 1).otherwise(0)
+            F.when(_ast_to_condition(c, expansions, term_bits), 1).otherwise(0)
             for c in node.children
         )
         return total % 2 == 1
     raise TypeError(type(node))
+
+
+_BITMASK_MAX_TERMS = 63  # bits 0..62 of a signed long; beyond → collect_set
+
+
+def _term_bit_column(term_bits: dict[str, int]) -> F.Column:
+    """term → its bit as a single flat CASE (one condition per term, no
+    nesting — linear plan size, see CLAUDE.md on when-chain blowup)."""
+    it = iter(sorted(term_bits.items()))
+    t0, i0 = next(it)
+    col = F.when(F.col("term") == t0, F.lit(1 << i0))
+    for t, i in it:
+        col = col.when(F.col("term") == t, F.lit(1 << i))
+    return col.otherwise(F.lit(0)).cast("long")
 
 
 def search_distributed(
@@ -764,7 +796,12 @@ def search_distributed(
     meta_cols = ["doc_id", "doc_len"] + cond_fields
     removed = removal.removed_array(index_dir)
 
-    cond = _ast_to_condition(ast, expansions)
+    # matched-terms agg state: one long bitmask when the query needs ≤63
+    # distinct terms (the serving norm), collect_set(string) beyond that
+    term_bits = (
+        {t: i for i, t in enumerate(needed)} if len(needed) <= _BITMASK_MAX_TERMS else None
+    )
+    cond = _ast_to_condition(ast, expansions, term_bits)
     out_cols = ["doc_id", "score"]  # display fields gather post-top-k
     agg = out = None
     if needed:
@@ -812,8 +849,13 @@ def search_distributed(
                 ).otherwise(F.lit(0.0)),
             )
         )
+        if term_bits is not None:
+            scored = scored.withColumn("tbit", _term_bit_column(term_bits))
+            matched_agg = F.bit_or("tbit").alias("mbits")
+        else:
+            matched_agg = F.collect_set("term").alias("mts")
         aggs = [
-            F.collect_set("term").alias("mts"),
+            matched_agg,
             F.sum("contrib").alias("score"),
         ] + [F.first(c).alias(c) for c in cond_fields]
         agg = scored.groupBy("doc_id").agg(*aggs)
@@ -825,12 +867,13 @@ def search_distributed(
         # Docs with any posting hit on an AST term were already decided in
         # the agg branch with their true mts — anti-join them out. Entry
         # score is 0.0 (no scored term matched).
-        extra = (
-            meta.select(*meta_cols)
-            .withColumn("mts", F.array().cast("array<string>"))
-            .filter(cond)
-            .withColumn("score", F.lit(0.0))
-        )
+        if term_bits is not None:
+            mmeta = meta.select(*meta_cols).withColumn("mbits", F.lit(0).cast("long"))
+        else:
+            mmeta = meta.select(*meta_cols).withColumn(
+                "mts", F.array().cast("array<string>")
+            )
+        extra = mmeta.filter(cond).withColumn("score", F.lit(0.0))
         if removed.size:
             rdf2 = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
             extra = extra.join(F.broadcast(rdf2), "doc_id", "left_anti")
@@ -948,6 +991,14 @@ def search_batch(
 
     removed = removal.removed_array(index_dir)
     out_cols = ["query_id", "doc_id", "score"]
+    # one bit assignment over the UNION of all live queries' terms — every
+    # query's condition tests its own terms' bits against the same mbits long
+    union_sorted = sorted(union_needed)
+    term_bits = (
+        {t: i for i, t in enumerate(union_sorted)}
+        if len(union_sorted) <= _BITMASK_MAX_TERMS
+        else None
+    )
     agg = out = None
     if union_needed:
         # (query_id, term, scoring) fan-out table — tiny, broadcast
@@ -1002,8 +1053,13 @@ def search_batch(
                 ).otherwise(F.lit(0.0)),
             )
         )
+        if term_bits is not None:
+            scored = scored.withColumn("tbit", _term_bit_column(term_bits))
+            matched_agg = F.bit_or("tbit").alias("mbits")
+        else:
+            matched_agg = F.collect_set("term").alias("mts")
         aggs = [
-            F.collect_set("term").alias("mts"),
+            matched_agg,
             F.sum("contrib").alias("score"),
         ] + [F.first(c).alias(c) for c in cond_fields]
         agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
@@ -1011,22 +1067,27 @@ def search_batch(
         # flat CASE over query_id: each query's AST condition appears exactly once
         cond = F.lit(False)
         for qid, ast, expansions in live:
-            cond = F.when(F.col("query_id") == qid, _ast_to_condition(ast, expansions)).otherwise(
-                cond
-            )
+            cond = F.when(
+                F.col("query_id") == qid, _ast_to_condition(ast, expansions, term_bits)
+            ).otherwise(cond)
         out = agg.filter(cond).withColumn("score", F.round(F.col("score"), 6))
 
     if termless_live:
         # ONE meta scan for every termless-capable query: per-query predicate
         # over an empty mts, evaluated as an array of (qid, matched) structs,
         # exploded to (query_id, doc) candidate rows at score 0.0
-        mmeta = meta.select(*meta_cols).withColumn("mts", F.array().cast("array<string>"))
+        if term_bits is not None:
+            mmeta = meta.select(*meta_cols).withColumn("mbits", F.lit(0).cast("long"))
+        else:
+            mmeta = meta.select(*meta_cols).withColumn(
+                "mts", F.array().cast("array<string>")
+            )
         matches = F.filter(
             F.array(
                 *[
                     F.struct(
                         F.lit(qid).alias("qid"),
-                        _ast_to_condition(ast, expansions).alias("m"),
+                        _ast_to_condition(ast, expansions, term_bits).alias("m"),
                     )
                     for qid, ast, expansions in termless_live
                 ]

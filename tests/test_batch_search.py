@@ -101,3 +101,52 @@ def test_label_propagation_two_components(spark):
     labels.unpersist()
     edges.unpersist()
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_bitmask_and_collect_set_encodings_agree(tiny_index, spark, monkeypatch):
+    """The matched-terms aggregate has two physical encodings: a bit_or long
+    (≤63 distinct terms — the serving norm) and collect_set(string) (the
+    fallback). Same queries, both encodings, identical answers — and a
+    genuinely >63-term OR exercises the fallback without the monkeypatch."""
+    import miru_spark.query.scorer as sc
+
+    queries = [
+        "merge AND sort",
+        "merge OR lang:go",
+        "(merge OR sort) XOR tree",
+        "NOT merge",
+    ]
+    bitmask = search_batch(spark, tiny_index, queries, k=10).toPandas()
+    dflt = sc._BITMASK_MAX_TERMS
+    monkeypatch.setattr(sc, "_BITMASK_MAX_TERMS", 0)  # force collect_set form
+    fallback = search_batch(spark, tiny_index, queries, k=10).toPandas()
+    for df in (bitmask, fallback):
+        df.sort_values(["query_id", "rank"], inplace=True, ignore_index=True)
+    assert bitmask["doc_id"].tolist() == fallback["doc_id"].tolist()
+    assert bitmask["score"].tolist() == fallback["score"].tolist()
+    monkeypatch.setattr(sc, "_BITMASK_MAX_TERMS", dflt)
+
+    # a wide disjunction over the whole dictionary, answered by BOTH
+    # encodings on search_distributed (threshold forced below the term
+    # count for the fallback leg) — identical top-k either way
+    import os
+
+    import pyarrow.parquet as pq
+
+    terms = sorted(
+        pq.read_table(
+            os.path.join(tiny_index, "stats"), columns=["term"]
+        ).column("term").to_pylist()
+    )
+    assert len(terms) > 16
+    wide = " OR ".join(terms)
+    wide_bits = search_distributed(spark, tiny_index, wide, k=10).toPandas()
+    monkeypatch.setattr(sc, "_BITMASK_MAX_TERMS", 16)
+    wide_set = search_distributed(spark, tiny_index, wide, k=10).toPandas()
+    assert len(wide_bits) == 10
+    assert wide_bits["doc_id"].tolist() == wide_set["doc_id"].tolist()
+    # bit_or plans as HashAggregate, collect_set as ObjectHashAggregate —
+    # different partial-merge orders move float sums at the ~1e-15 level
+    assert wide_bits["score"].tolist() == pytest.approx(
+        wide_set["score"].tolist(), abs=1e-9
+    )
