@@ -897,6 +897,7 @@ def search_batch(
     index_dir: str,
     queries: list[str],
     k: int = 10,
+    plan: str = "auto",
 ) -> DataFrame:
     """N queries answered in ONE job over ONE posting scan.
 
@@ -982,6 +983,44 @@ def search_batch(
         return spark.createDataFrame([], out_schema)
     termless_live = [x for x in live if qp.can_match_termless(x[1])]
 
+    # ---- masks mode: per-query conditions as DATA, plan size O(1) in N ----
+    # Every live query that is a boolean over term literals (no Field/Range/
+    # Xor) converts to CNF clause masks over a PER-QUERY bit assignment
+    # (parser.cnf_clauses). The batch then needs no per-query expression at
+    # all: one broadcast (query_id, term, bitval) fan-out, one bit_or agg,
+    # one broadcast (query_id, clauses) table and a single forall filter.
+    # The legacy CASE form (plan size linear in N — fine for interactive
+    # batches, fatal for a 100k-query log replay) remains for batches
+    # containing Field/Range/Xor queries.
+    mask_specs: dict | None = None
+    if plan != "case":
+        mask_specs = {}
+        for qid, ast, expansions in live:
+            needed_q = sorted(
+                qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
+            )
+            clauses = qp.cnf_clauses(ast, expansions)
+            if clauses is None or len(needed_q) > _BITMASK_MAX_TERMS:
+                mask_specs = None
+                break
+            bits = {t: i for i, t in enumerate(needed_q)}
+            cl = [
+                (
+                    sum(1 << bits[t] for t in pos),
+                    sum(1 << bits[t] for t in neg),
+                )
+                for pos, neg in clauses
+            ]
+            # the CNF evaluated at M=∅: a clause with an empty neg mask can
+            # never hold termlessly — this IS the termless-match predicate
+            matches_empty = all(neg for _, neg in cl)
+            mask_specs[qid] = (bits, cl, matches_empty)
+        if mask_specs is None and plan == "masks":
+            raise ValueError(
+                "batch contains a query not expressible as CNF term masks "
+                "(Field/Range/Xor clause or >63 distinct terms)"
+            )
+
     # scoring plan carries ONLY doc_len + the union of the live queries'
     # AST-referenced filter fields; display fields gather post-top-k
     cond_fields = sorted(
@@ -991,8 +1030,8 @@ def search_batch(
 
     removed = removal.removed_array(index_dir)
     out_cols = ["query_id", "doc_id", "score"]
-    # one bit assignment over the UNION of all live queries' terms — every
-    # query's condition tests its own terms' bits against the same mbits long
+    # legacy form: one bit assignment over the UNION of all live queries'
+    # terms — every query's condition tests its own terms' bits
     union_sorted = sorted(union_needed)
     term_bits = (
         {t: i for i, t in enumerate(union_sorted)}
@@ -1001,7 +1040,7 @@ def search_batch(
     )
     agg = out = None
     if union_needed:
-        # (query_id, term, scoring) fan-out table — tiny, broadcast
+        # (query_id, term, scoring[, bitval]) fan-out table
         qt_rows = []
         for qid, ast, expansions in live:
             scoring = qp.positive_terms(ast) | {
@@ -1009,8 +1048,19 @@ def search_batch(
             }
             needed = qp.all_terms(ast) | {t for ts in expansions.values() for t in ts}
             for t in sorted(needed):
-                qt_rows.append((qid, t, t in scoring))
-        qt = spark.createDataFrame(qt_rows, "query_id int, term string, scoring boolean")
+                if mask_specs is not None:
+                    qt_rows.append((qid, t, t in scoring, 1 << mask_specs[qid][0][t]))
+                else:
+                    qt_rows.append((qid, t, t in scoring))
+        qt_schema = "query_id int, term string, scoring boolean" + (
+            ", bitval long" if mask_specs is not None else ""
+        )
+        qt = spark.createDataFrame(qt_rows, qt_schema)
+        # broadcast the fan-out while it is driver-sized; a log-replay-scale
+        # batch (tens of millions of (query, term) rows) joins normally and
+        # AQE picks the strategy
+        if len(qt_rows) <= 2_000_000:
+            qt = F.broadcast(qt)
 
         merged = (
             spark.read.parquet(os.path.join(index_dir, "merged"))
@@ -1040,7 +1090,7 @@ def search_batch(
         )
 
         scored = (
-            hits.join(F.broadcast(qt), "term")  # fan out each posting row per interested query
+            hits.join(qt, "term")  # fan out each posting row per interested query
             .join(F.broadcast(stats), "term")
             .join(meta.select(*meta_cols), "doc_id")
             .withColumn(
@@ -1053,26 +1103,68 @@ def search_batch(
                 ).otherwise(F.lit(0.0)),
             )
         )
-        if term_bits is not None:
-            scored = scored.withColumn("tbit", _term_bit_column(term_bits))
-            matched_agg = F.bit_or("tbit").alias("mbits")
+        if mask_specs is not None:
+            # masks mode: mbits = bit_or of the fan-out's PER-QUERY bitvals;
+            # the filter is ONE expression over a broadcast clause table —
+            # no per-query expressions anywhere in the plan
+            agg = scored.groupBy("query_id", "doc_id").agg(
+                F.bit_or("bitval").alias("mbits"),
+                F.sum("contrib").alias("score"),
+            )
+            qc = spark.createDataFrame(
+                [(qid, mask_specs[qid][1]) for qid, _, _ in live],
+                "query_id int, clauses array<struct<pos: long, neg: long>>",
+            )
+            if len(live) <= 1_000_000:
+                qc = F.broadcast(qc)
+            out = (
+                agg.join(qc, "query_id")
+                .filter(
+                    F.forall(
+                        "clauses",
+                        lambda c: (F.col("mbits").bitwiseAND(c["pos"]) != 0)
+                        | (F.col("mbits").bitwiseAND(c["neg"]) != c["neg"]),
+                    )
+                )
+                .withColumn("score", F.round(F.col("score"), 6))
+            )
         else:
-            matched_agg = F.collect_set("term").alias("mts")
-        aggs = [
-            matched_agg,
-            F.sum("contrib").alias("score"),
-        ] + [F.first(c).alias(c) for c in cond_fields]
-        agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
+            if term_bits is not None:
+                scored = scored.withColumn("tbit", _term_bit_column(term_bits))
+                matched_agg = F.bit_or("tbit").alias("mbits")
+            else:
+                matched_agg = F.collect_set("term").alias("mts")
+            aggs = [
+                matched_agg,
+                F.sum("contrib").alias("score"),
+            ] + [F.first(c).alias(c) for c in cond_fields]
+            agg = scored.groupBy("query_id", "doc_id").agg(*aggs)
 
-        # flat CASE over query_id: each query's AST condition appears exactly once
-        cond = F.lit(False)
-        for qid, ast, expansions in live:
-            cond = F.when(
-                F.col("query_id") == qid, _ast_to_condition(ast, expansions, term_bits)
-            ).otherwise(cond)
-        out = agg.filter(cond).withColumn("score", F.round(F.col("score"), 6))
+            # flat CASE over query_id: each query's AST condition appears once
+            cond = F.lit(False)
+            for qid, ast, expansions in live:
+                cond = F.when(
+                    F.col("query_id") == qid, _ast_to_condition(ast, expansions, term_bits)
+                ).otherwise(cond)
+            out = agg.filter(cond).withColumn("score", F.round(F.col("score"), 6))
 
-    if termless_live:
+    if mask_specs is not None:
+        # the termless predicate is a per-query CONSTANT in masks mode (the
+        # CNF at M=∅) — computed on the driver, no per-query expressions
+        empty_qids = [qid for qid, _, _ in live if mask_specs[qid][2]]
+        extra = None
+        if empty_qids:
+            extra = (
+                meta.select("doc_id")
+                .select(
+                    F.explode(F.array(*[F.lit(q) for q in empty_qids])).alias(
+                        "query_id"
+                    ),
+                    "doc_id",
+                    F.lit(0.0).alias("score"),
+                )
+            )
+    elif termless_live:
         # ONE meta scan for every termless-capable query: per-query predicate
         # over an empty mts, evaluated as an array of (qid, matched) structs,
         # exploded to (query_id, doc) candidate rows at score 0.0
@@ -1104,6 +1196,10 @@ def search_batch(
                 F.lit(0.0).alias("score"),
             )
         )
+    else:
+        extra = None
+
+    if extra is not None:
         if removed.size:
             rdf2 = spark.createDataFrame([(int(x),) for x in removed.tolist()], "doc_id long")
             extra = extra.join(F.broadcast(rdf2), "doc_id", "left_anti")

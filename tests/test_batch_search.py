@@ -150,3 +150,72 @@ def test_bitmask_and_collect_set_encodings_agree(tiny_index, spark, monkeypatch)
     assert wide_bits["score"].tolist() == pytest.approx(
         wide_set["score"].tolist(), abs=1e-9
     )
+
+
+def test_masks_mode_matches_case_mode_and_local(tiny_index, spark):
+    """Masks mode (per-query CNF clause masks as broadcast DATA) must be
+    rank- and score-identical to the legacy CASE plan and to the serving
+    path on every CNF-able shape, including pure-negative and nested-NOT."""
+    from miru_spark.query.scorer import search_local
+
+    queries = [
+        "merge AND sort",
+        "merge OR sort OR tree",
+        "merge AND NOT sort",
+        "NOT merge",
+        "merge AND NOT (sort OR tree)",
+        "(merge OR sort) AND (tree OR heap)",
+    ]
+    masks = search_batch(spark, tiny_index, queries, k=8, plan="masks").toPandas()
+    case = search_batch(spark, tiny_index, queries, k=8, plan="case").toPandas()
+    for df in (masks, case):
+        df.sort_values(["query_id", "rank"], inplace=True, ignore_index=True)
+    assert masks["doc_id"].tolist() == case["doc_id"].tolist()
+    assert masks["score"].tolist() == pytest.approx(case["score"].tolist(), abs=1e-9)
+    for qid, q in enumerate(queries):
+        loc = search_local(tiny_index, q, k=8)
+        got = masks[masks["query_id"] == qid]
+        assert got["doc_id"].tolist() == [int(x) for x in loc["doc_id"]], q
+
+
+def test_masks_mode_guards_and_auto_fallback(tiny_index, spark):
+    mixed = ["merge AND sort", "merge OR lang:go"]
+    with pytest.raises(ValueError, match="not expressible as CNF"):
+        search_batch(spark, tiny_index, mixed, k=5, plan="masks")
+    auto = search_batch(spark, tiny_index, mixed, k=5, plan="auto").toPandas()
+    case = search_batch(spark, tiny_index, mixed, k=5, plan="case").toPandas()
+    for df in (auto, case):
+        df.sort_values(["query_id", "rank"], inplace=True, ignore_index=True)
+    assert auto["doc_id"].tolist() == case["doc_id"].tolist()
+
+
+def test_masks_mode_plan_size_constant_in_batch_size(tiny_index, spark):
+    """The reason masks mode exists: the optimized plan must NOT grow with
+    the number of queries (the CASE form grows linearly — fine at N=4,
+    fatal for a 100k-query log replay)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    terms = sorted(
+        pq.read_table(
+            os.path.join(tiny_index, "stats"), columns=["term"]
+        ).column("term").to_pylist()
+    )
+
+    def gen(n):
+        out = []
+        for i in range(n):
+            a, b = terms[i % len(terms)], terms[(i * 7 + 3) % len(terms)]
+            out.append(f"{a} AND {b}" if a != b else a)
+        return out
+
+    def plan_len(queries, plan):
+        df = search_batch(spark, tiny_index, queries, k=5, plan=plan)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    m_small, m_big = plan_len(gen(8), "masks"), plan_len(gen(256), "masks")
+    c_small, c_big = plan_len(gen(8), "case"), plan_len(gen(256), "case")
+    # CASE plan grows ~32x in conditions; masks plan stays flat
+    assert m_big < 2 * m_small, (m_small, m_big)
+    assert c_big > 5 * c_small, (c_small, c_big)
