@@ -107,6 +107,83 @@ def _bm25_batch_sql() -> str:
     )
 
 
+def _bm25_cnf_sql(query: str, k: int = 10) -> str:
+    """BM25 oracle for ONE boolean term query, generated from the same CNF
+    the engine's masks mode evaluates (parser.cnf_clauses) but computed
+    independently: DuckDB tokenizes, builds per-doc matched flags
+    (bool_or per needed term), applies the CNF as SQL booleans, scores only
+    positive-term contributions, and — when the CNF holds at the empty
+    matched set — unions every doc with NO needed-term hit at score 0.0
+    (the engine's doc_meta termless branch)."""
+    from miru_spark.query import parser as qp
+
+    ast = qp.parse_query(query)
+    clauses = qp.cnf_clauses(ast, {})
+    if clauses is None:
+        raise ValueError(f"{query!r} is not CNF-expressible")
+    needed = sorted(qp.all_terms(ast))
+    scoring = sorted(qp.positive_terms(ast))
+    matches_empty = all(neg for _, neg in clauses)
+
+    in_needed = ", ".join(f"'{t}'" for t in needed)
+    m_cols = ",\n         ".join(
+        f"bool_or(h.term = '{t}') AS m_{t}" for t in needed
+    )
+    if scoring:
+        in_scoring = ", ".join(f"'{t}'" for t in scoring)
+        s_expr = (
+            f"sum(CASE WHEN h.term IN ({in_scoring}) THEN "
+            "ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0) "
+            "* (h.tf * 2.2) / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)) "
+            "ELSE 0.0 END)"
+        )
+    else:
+        s_expr = "sum(0.0)"
+
+    def clause_sql(pos, neg):
+        parts = [f"m_{t}" for t in sorted(pos)]
+        if neg:
+            parts.append("NOT (" + " AND ".join(f"m_{t}" for t in sorted(neg)) + ")")
+        return "(" + " OR ".join(parts) + ")" if parts else "FALSE"
+
+    cnf_sql = " AND ".join(clause_sql(p, n) for p, n in clauses) or "TRUE"
+    empties = (
+        "\nUNION ALL\nSELECT d.doc_id, 0.0 AS s FROM documents d "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM perdoc)"
+        if matches_empty
+        else ""
+    )
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+c AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+hits AS (SELECT * FROM tf WHERE term IN ({in_needed})),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+perdoc AS (
+  SELECT h.doc_id,
+         {s_expr} AS s,
+         {m_cols}
+  FROM hits h JOIN dfs f USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY h.doc_id),
+unioned AS (
+  SELECT doc_id, s FROM perdoc WHERE {cnf_sql}{empties})
+SELECT doc_id, round(s, 6) AS score,
+       row_number() OVER (ORDER BY round(s, 6) DESC, doc_id DESC) AS rank
+FROM unioned QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
+def _bm25_batch_cnf_sql() -> str:
+    """ft_bm25_batch_cnf oracle: UNION ALL of per-query CNF-generated SQL
+    over ft.BATCH_CNF_QUERIES (the masks-mode shapes)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, doc_id, score, rank FROM ({_bm25_cnf_sql(q)})"
+        for qid, q in enumerate(ft.BATCH_CNF_QUERIES)
+    )
+
+
 def _or_timerange_sql() -> str:
     """ft_bm25_or_timerange oracle: `dup OR ts:[0 TO 9]` over the engine
     corpus (ts = doc_id % 100). Docs containing 'dup' carry their BM25
@@ -502,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_highlights": ft.ft_highlights,  # Q3 best-4-fragment highlighter
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
         "ft_bm25_batch": ft.ft_bm25_batch,  # N queries, ONE posting scan (search_batch)
+        "ft_bm25_batch_cnf": ft.ft_bm25_batch_cnf,  # masks mode: CNF shapes, O(1) plan in N
         "ft_bm25_after_delete": ft.ft_bm25_after_delete,  # F5 removal mask
         "ft_bm25_time_range": ft.ft_bm25_time_range,  # S4 doc-time mask
         # OR-reachable Range clause → doc_meta candidate branch unioned into
@@ -655,6 +733,7 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_highlights": _highlights_sql(),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),
         "ft_bm25_batch": _bm25_batch_sql(),
+        "ft_bm25_batch_cnf": _bm25_batch_cnf_sql(),
         "ft_bm25_after_delete": _bm25_sql(
             ft.QUERY_TERMS, conjunctive=True, cand_where="doc_id % 7 <> 0"
         ),

@@ -607,3 +607,33 @@ def ft_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
+
+
+BATCH_CNF_QUERIES = [
+    "merge AND NOT sort",  # negated literal
+    "vector AND NOT (window OR stream)",  # De Morgan: two neg clauses
+    "merge AND NOT (sort AND stream)",  # one multi-term neg clause
+    "(merge AND sort) OR stream",  # OR-distribution over a conjunction
+    f"NOT {RARE_TERM}",  # pure-negative: termless docs enter at 0.0
+]
+
+
+def ft_bm25_batch_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving in MASKS mode (`plan="masks"` forced — the O(1)-plan-
+    size query-log form): every query's boolean converts to CNF clause
+    bitmasks evaluated as broadcast DATA (parser.cnf_clauses), covering the
+    shapes the flat 4-query gate does not — negated literals, De Morgan'd
+    groups, OR-distribution, and a pure-negative query whose matches enter
+    through the doc_meta branch at score 0.0. Oracle: per-query SQL generated
+    from the SAME CNF (independent DuckDB tokenization + boolean evaluation
+    over per-term matched flags)."""
+    from miru_spark.query.scorer import search_batch
+
+    idx = build_documents_index(spark, sf_dir)
+    res = search_batch(spark, idx, BATCH_CNF_QUERIES, k=10, plan="masks")
+    return res.select(
+        "query_id",
+        F.substring("path", 5, 10).cast("long").alias("doc_id"),
+        "score",
+        "rank",
+    )
