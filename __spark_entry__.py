@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.dedup_clusters,  # connected components
         "dedup_survivors": dedup.dedup_survivors,  # corpus after removal
         "decontaminate": dedup.decontaminate,  # benchmark n-gram hygiene
+        "span_dedup_stats": dedup.span_dedup_stats,  # cross-doc repeated spans (Lee et al.)
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # cross-snapshot refresh: admit a new crawl batch vs the standing
@@ -1254,6 +1255,24 @@ SELECT lang,
        CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "span_dedup_stats": f"""
+WITH tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+spans AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(0, len(toks) - 15, 8),
+                               o -> md5(array_to_string(toks[o+1:o+16], ' ')))) AS h
+  FROM tokarr WHERE len(toks) >= 16),
+counted AS (SELECT doc_id, lang, count(*) OVER (PARTITION BY h) AS c FROM spans),
+perdoc AS (SELECT doc_id, any_value(lang) AS lang, count(*) AS n_spans,
+                  sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM counted GROUP BY doc_id),
+r AS (SELECT lang, n_spans, n_dup,
+             round(n_dup * 1000000.0 / n_spans)::BIGINT AS dup_ppm FROM perdoc)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_spans)::BIGINT AS total_spans,
+       sum(n_dup)::BIGINT AS total_dup_spans, sum(dup_ppm)::BIGINT AS sum_dup_ppm,
+       sum(CASE WHEN dup_ppm >= 100000 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+FROM r GROUP BY 1 ORDER BY 1
 """,
         "ngram_repetition": f"""
 WITH tokarr AS (SELECT lang, {_TOKS} AS toks FROM documents),

@@ -667,3 +667,70 @@ def decontaminate(
         .withColumn("n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)))
         .orderBy("lang")
     )
+
+
+SPAN_W = 16  # span width in tokens (Lee et al. use 50 at web scale; the
+SPAN_STRIDE = 8  # synthetic docs are short) — stride halves span count
+
+
+def span_dedup_stats(
+    spark: SparkSession, sf_dir: str, w: int = SPAN_W, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """CROSS-document repeated-span statistics — the span-level exact dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): a span of `w` tokens occurring more than once in the
+    corpus (any doc, including its own) is boilerplate/duplication a
+    training pipeline wants stripped. Complements `ngram_repetition`
+    (within-doc) and `dedup_exact` (whole-doc).
+
+    Plan: one scan; tokens materialized ONCE per row (CLAUDE.md tokens_col
+    rule); per-row strided span offsets via `sequence` + md5 of the joined
+    token slice (all JVM, portable hash shared with the DuckDB oracle); one
+    exchange keyed by span hash (a window count — no join back); one per-doc
+    aggregate; one tiny per-lang aggregate. Per-doc duplicated-span fraction
+    is emitted as integer PPM so every per-lang sum is order-insensitive
+    and thresholds compare as integers on both engines.
+
+    Scale: span rows ≈ tokens/stride — the h-keyed exchange is the whole
+    cost and its keys are uniformly distributed (md5); `w`/`stride` are the
+    knobs (web-scale runs use w=50, stride=w so spans tile). Docs shorter
+    than `w` tokens have no spans and are excluded (same rule both engines).
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens_col("text").alias("toks")
+    )
+    toks = F.col("toks")
+    offs = F.when(
+        F.size(toks) >= w,
+        F.sequence(F.lit(0), F.size(toks) - w, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(offs, lambda o: F.md5(F.concat_ws(" ", F.slice(toks, o + 1, w))))
+        ).alias("h"),
+    )
+    counted = spans.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+    per_doc = counted.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup"),
+    )
+    dup_ppm = F.round(F.col("n_dup") * F.lit(1000000.0) / F.col("n_spans")).cast("long")
+    return (
+        per_doc.select("lang", "n_spans", "n_dup", dup_ppm.alias("dup_ppm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("long").alias("total_spans"),
+            F.sum("n_dup").cast("long").alias("total_dup_spans"),
+            F.sum("dup_ppm").cast("long").alias("sum_dup_ppm"),
+            F.sum(F.when(F.col("dup_ppm") >= 100000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )

@@ -87,3 +87,31 @@ def test_quota_sample_prefilter_branch_is_exact(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     # the hot source (500 rows > 4*quota) was pre-filtered yet kept its quota
     assert sum(1 for r in got if r["source"] == "hot") == quota
+
+
+def test_span_dedup_flags_cross_doc_copies(spark, tmp_path):
+    """Two docs sharing their full text have EVERY span duplicated
+    (dup_ppm = 1e6, flagged); a unique long doc has none; docs shorter than
+    the span width are excluded on both engines."""
+    from miru_spark.pipeline.dedup import span_dedup_stats
+
+    base = " ".join(f"w{i}" for i in range(40))  # 40 distinct tokens
+    uniq = " ".join(f"u{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "s", 10),
+        (2, base, "en", "s", 10),  # exact copy -> every span dup in BOTH
+        (3, uniq, "en", "s", 10),  # unique -> zero dup spans
+        (4, "too short", "en", "s", 10),  # < 16 tokens -> no spans at all
+    ]
+    p = str(tmp_path / "d")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+
+    out = span_dedup_stats(spark, p).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 40 tokens, w=16, stride=8 -> offsets 0,8,16,24 = 4 spans/doc; 3 docs
+    assert r["n_docs"] == 3 and r["total_spans"] == 12
+    assert r["total_dup_spans"] == 8  # docs 1+2 fully duplicated
+    assert r["sum_dup_ppm"] == 2_000_000 and r["n_flagged"] == 2
