@@ -104,6 +104,7 @@ def resolve_ops(names: list[str]):
         "quality_scores": text.quality_scores,
         "stratified_split": text.stratified_split,
         "ngram_repetition": text.ngram_repetition,
+        "span_dedup_stats": dedup.span_dedup_stats,
     }
     return [(n, registry[n]) for n in names]
 
