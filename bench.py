@@ -115,8 +115,10 @@ def main() -> None:
         "ft_bm25_or_timerange", "ft_not_only", "ft_bm25_stopworded_de",
         "catwalk_merged", "lsh_ann_partitioned",
         # round-4 additions: IVF codebook training (distributed Lloyd's),
-        # per-source corpus balancing under domain skew
+        # per-source corpus balancing under domain skew, masks-mode batched
+        # BM25 (CNF shapes as data), cross-doc span dedup (Lee et al.)
         "ivf_train", "domain_quota_sample",
+        "ft_bm25_batch_cnf", "span_dedup_stats",
     ]
     qmap = entry.queries()
     for name in headline:
