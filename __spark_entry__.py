@@ -30,6 +30,14 @@ _TOK_SW_CTE = (
     + _EN_SW_ANALYZER.duckdb_tokens_sql("text")
     + ") AS term FROM documents)"
 )
+# en stop set + the S-stemmer: DuckDB evaluates the same three suffix
+# rules independently (analyzers.STEM_S_SQL_CASE inside duckdb_tokens_sql)
+_EN_STEM_ANALYZER = anz.find_analyzer("en", True, "s")
+_TOK_STEM_CTE = (
+    "tok AS (SELECT doc_id, unnest("
+    + _EN_STEM_ANALYZER.duckdb_tokens_sql("text")
+    + ") AS term FROM documents)"
+)
 # de_at walks down to the German (Snowball) set — same resolution the
 # engine-side index build performs (TermAnalyzers.java:120-136 walk)
 _DE_SW_ANALYZER = anz.find_analyzer("de_at", True)
@@ -576,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_bm25": ft.ft_engine_bm25,  # the real index engine e2e
         "ft_bm25_stopworded_en": ft.ft_bm25_stopworded_en,  # Q2 locale analyzer e2e
         "ft_bm25_stopworded_de": ft.ft_bm25_stopworded_de,  # Q2 de set via de_at walk
+        "ft_bm25_stemmed_en": ft.ft_bm25_stemmed_en,  # Q2 S-stemmer e2e (both sides)
         "ft_highlights": ft.ft_highlights,  # Q3 best-4-fragment highlighter
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
         "ft_bm25_batch": ft.ft_bm25_batch,  # N queries, ONE posting scan (search_batch)
@@ -730,6 +739,11 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
         "ft_bm25_stopworded_en": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_CTE),
         "ft_bm25_stopworded_de": _bm25_sql(
             ft.QUERY_TERMS, conjunctive=True, tok_cte=_TOK_SW_DE_CTE
+        ),
+        # query "the merges sorts": 'the' stop-pruned, merges/sorts stem to
+        # merge/sort — the oracle's tok CTE applies the SAME rules in SQL
+        "ft_bm25_stemmed_en": _bm25_sql(
+            ["merge", "sort"], conjunctive=True, tok_cte=_TOK_STEM_CTE
         ),
         "ft_highlights": _highlights_sql(),
         "ft_serve_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True, langs=["en", "de"]),

@@ -10,10 +10,17 @@ analyzer — the Q2 parity requirement.
 Spark-native form: tokenization stays the single frozen analyzer
 (analyzer.py — lowercase, split ``[^a-z0-9_]+``, keep dups, drop empties;
 byte-identical across Python/JVM/Arrow/DuckDB), and the per-locale
-difference is a STOPWORD SET applied after it. We do not replicate
-Lucene's per-language stemmers (a different word-normalization universe);
-the registry carries the reference's locale→stop-set selection semantics,
-with ``register_stopwords`` for additional languages.
+difference is a STOPWORD SET applied after it, optionally followed by a
+light English stemmer (``stem="s"``: Harman's S-stemmer — "How Effective
+Is Suffixing?", JASIS 42(1), 1991 — three plural-suffix rules). The
+S-stemmer was chosen deliberately: it is exactly expressible as native
+expressions in BOTH engines (Spark Column ops and DuckDB SQL), so the
+oracle evaluates it independently — full Snowball/Porter stemming (what
+the reference's Lucene per-language analyzers apply,
+TermAnalyzers.java:51-84) has no independently-verifiable oracle in this
+sandbox (DuckDB's ``stem()`` needs the non-installable fts extension) and
+stays a documented non-goal. ``register_stopwords`` hooks additional
+languages.
 
 The chosen analyzer is recorded in the index's ``analyzer.json`` at build
 time and re-applied to query text at parse time (see index/build.py and
@@ -39,34 +46,90 @@ from miru_spark.stopwords_en import EN_STOPWORDS
 from miru_spark.stopwords_langs import DE_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS
 
 
+# ---- the S-stemmer (Harman 1991), one rule set, four implementations ----
+# 1. -ies → -y   unless the word ends -eies / -aies
+# 2. -es  → -e   unless the word ends -aes / -ees / -oes
+# 3. -s   → ""   unless the word ends -us / -ss
+# The published form has no minimum-length guard; a bare "s" therefore stems
+# to "" and is DROPPED (the tokenizer's drop-empties rule). All four
+# implementations below apply the identical rules — parity is pinned by
+# tests/test_stemmer.py against a shared vector list + hypothesis strings.
+
+
+def stem_s_one(w: str) -> str:
+    """Python reference implementation (query side, tests)."""
+    if w.endswith("ies") and not w.endswith(("eies", "aies")):
+        return w[:-3] + "y"
+    if w.endswith("es") and not w.endswith(("aes", "ees", "oes")):
+        return w[:-1]
+    if w.endswith("s") and not w.endswith(("us", "ss")):
+        return w[:-1]
+    return w
+
+
+def stem_s_col(t: Column) -> Column:
+    """JVM Column implementation (whole-stage codegen; used inside
+    F.transform lambdas — 1-arg form, see the F.filter note below)."""
+    drop_last = t.substr(F.lit(1), F.length(t) - 1)
+    ies = (
+        t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies"),
+        F.concat(t.substr(F.lit(1), F.length(t) - 3), F.lit("y")),
+    )
+    es = t.endswith("es") & ~t.endswith("aes") & ~t.endswith("ees") & ~t.endswith("oes")
+    s = t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss")
+    return F.when(ies[0], ies[1]).when(es, drop_last).when(s, drop_last).otherwise(t)
+
+
+STEM_S_SQL_CASE = (
+    "CASE WHEN t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'"
+    " THEN substr(t, 1, length(t) - 3) || 'y'"
+    " WHEN t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'"
+    " THEN substr(t, 1, length(t) - 1)"
+    " WHEN t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'"
+    " THEN substr(t, 1, length(t) - 1)"
+    " ELSE t END"
+)
+
+
 @dataclass(frozen=True)
 class Analyzer:
-    """A resolved analyzer: the frozen tokenizer + a stopword set."""
+    """A resolved analyzer: the frozen tokenizer + a stopword set + an
+    optional light stemmer (``stem="s"``). Chain order matches Lucene's
+    EnglishAnalyzer (StopFilter before the stem filter): stop-filter, then
+    stem, then drop tokens that stemmed to empty."""
 
     locale: str
     use_stopwords: bool
     stopwords: frozenset = field(default_factory=frozenset)
+    stem: str = ""  # "" (none) | "s" (Harman S-stemmer)
 
     def tokens_col(self, content: Column | str) -> Column:
         c = base.tokens_col(content)
-        if not self.stopwords:
-            return c
-        stop = F.lit(sorted(self.stopwords))
-        # F.filter's 1-arg lambda (2-arg is the (element, index) form)
-        return F.filter(c, lambda t: ~F.array_contains(stop, t))
+        if self.stopwords:
+            stop = F.lit(sorted(self.stopwords))
+            # F.filter's 1-arg lambda (2-arg is the (element, index) form)
+            c = F.filter(c, lambda t: ~F.array_contains(stop, t))
+        if self.stem:
+            c = F.transform(c, stem_s_col)
+            c = F.filter(c, lambda t: t != F.lit(""))
+        return c
 
     def tokenize_one(self, text: str) -> list[str]:
         toks = base.tokenize_one(text)
-        if not self.stopwords:
-            return toks
-        return [t for t in toks if t not in self.stopwords]
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        if self.stem:
+            toks = [s for s in (stem_s_one(t) for t in toks) if s]
+        return toks
 
     def tokenize_pandas(self, content: pd.Series) -> pd.Series:
         toks = base.tokenize_pandas(content)
-        if not self.stopwords:
-            return toks
-        sw = self.stopwords
-        return toks.map(lambda ts: [t for t in ts if t not in sw])
+        if self.stopwords:
+            sw = self.stopwords
+            toks = toks.map(lambda ts: [t for t in ts if t not in sw])
+        if self.stem:
+            toks = toks.map(lambda ts: [s for s in (stem_s_one(t) for t in ts) if s])
+        return toks
 
     def stop_mask_for_vocab(self, vocab: np.ndarray) -> np.ndarray:
         """Vectorized hook for the Arrow build path: True where vocab[i] is
@@ -76,15 +139,33 @@ class Analyzer:
             return np.zeros(len(vocab), dtype=bool)
         return np.isin(vocab, sorted(self.stopwords))
 
+    def stem_vocab(self, vocab: np.ndarray) -> np.ndarray:
+        """Vocab-level hook for the Arrow build path: the stemmed form of
+        each UNIQUE vocab word (the builder re-encodes codes through the
+        stemmed vocab, so the per-word Python loop runs over the small
+        dictionary, never the token stream — same cost class as the
+        stopword isin). Words that stem to "" are dropped by the builder."""
+        if not self.stem:
+            return vocab
+        return np.array([stem_s_one(w) for w in vocab.tolist()], dtype=object)
+
     def duckdb_tokens_sql(self, col: str = "content") -> str:
-        inner = base.duckdb_tokens_sql(col)
-        if not self.stopwords:
-            return inner
-        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(self.stopwords))
-        return f"list_filter({inner}, t -> NOT list_contains([{lst}], t))"
+        out = base.duckdb_tokens_sql(col)
+        if self.stopwords:
+            lst = ", ".join(
+                "'" + w.replace("'", "''") + "'" for w in sorted(self.stopwords)
+            )
+            out = f"list_filter({out}, t -> NOT list_contains([{lst}], t))"
+        if self.stem:
+            out = f"list_transform({out}, t -> {STEM_S_SQL_CASE})"
+            out = f"list_filter({out}, t -> t <> '')"
+        return out
 
     def to_config(self) -> dict:
-        return {"locale": self.locale, "use_stopwords": self.use_stopwords}
+        cfg = {"locale": self.locale, "use_stopwords": self.use_stopwords}
+        if self.stem:
+            cfg["stem"] = self.stem
+        return cfg
 
 
 # locale → stop set when use_stopwords (TermAnalyzers.java:51-84 registers
@@ -106,22 +187,28 @@ def register_stopwords(locale: str, words) -> None:
     _STOPWORD_SETS[locale] = frozenset(words)
 
 
-def find_analyzer(locale: str | None, use_stopwords: bool) -> Analyzer:
+def find_analyzer(locale: str | None, use_stopwords: bool, stem: str = "") -> Analyzer:
     """The reference's fallback walk (TermAnalyzers.java:120-136): exact
     locale, then progressively strip ``_``-suffixes, then the standard
-    fallback — which with stopwords uses the ENGLISH set (:47)."""
+    fallback — which with stopwords uses the ENGLISH set (:47).
+    ``stem="s"`` additionally enables the S-stemmer (English-only light
+    stemming; the reference's per-language Snowball stemmers are a
+    documented non-goal, see module docstring)."""
+    if stem not in ("", "s"):
+        raise ValueError(f"unknown stemmer {stem!r} (supported: 's')")
     if not use_stopwords:
-        return Analyzer(locale or "", False)
+        return Analyzer(locale or "", False, stem=stem)
     code = locale or ""
     while code:
         s = _STOPWORD_SETS.get(code)
         if s is not None:
-            return Analyzer(locale, True, s)
+            return Analyzer(locale, True, s, stem=stem)
         ix = code.rfind("_")
         if ix == -1:
             break
         code = code[:ix]
-    return Analyzer(locale or "", True, EN_STOPWORDS)  # stopword standard fallback
+    # stopword standard fallback
+    return Analyzer(locale or "", True, EN_STOPWORDS, stem=stem)
 
 
 DEFAULT = Analyzer("", False)
@@ -130,7 +217,9 @@ DEFAULT = Analyzer("", False)
 def from_config(cfg: dict | None) -> Analyzer:
     if not cfg:
         return DEFAULT
-    return find_analyzer(cfg.get("locale"), bool(cfg.get("use_stopwords")))
+    return find_analyzer(
+        cfg.get("locale"), bool(cfg.get("use_stopwords")), cfg.get("stem", "")
+    )
 
 
 def load(index_dir: str) -> Analyzer:

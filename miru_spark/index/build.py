@@ -204,7 +204,7 @@ def assign_doc_ids(
 
 
 def _build_segment_rows(
-    pdf: pd.DataFrame, stopwords: frozenset = frozenset()
+    pdf: pd.DataFrame, stopwords: frozenset = frozenset(), analyzer=None
 ) -> tuple[dict, dict, pa.Table]:
     """Tokenize one partition and build its posting rows.
 
@@ -228,6 +228,20 @@ def _build_segment_rows(
         stop_mask = np.isin(vocab, sorted(stopwords))
         keep = ~stop_mask[codes]
         codes, parents = codes[keep], parents[keep]
+        n_tokens = codes.size
+    if analyzer is not None and analyzer.stem:
+        # stemming is a VOCAB-LEVEL transform (analyzers.Analyzer.stem_vocab):
+        # stem each unique dictionary word once, re-encode codes through the
+        # merged stemmed vocab — the token stream is touched only by int
+        # gathers, never per-token Python. Tokens stemming to "" drop (the
+        # analyzer's drop-empties rule); doc_len counts post-stem tokens.
+        stemmed = analyzer.stem_vocab(vocab)
+        svocab, inv = np.unique(stemmed, return_inverse=True)
+        codes = inv.astype(codes.dtype)[codes]
+        vocab = svocab
+        if svocab.size and svocab[0] == "":  # "" sorts first when present
+            keep = codes != 0
+            codes, parents = codes[keep], parents[keep]
         n_tokens = codes.size
     doc_lens = np.bincount(parents, minlength=len(pdf)).astype(np.int32)
     flat_docs = doc_ids[parents]
@@ -312,7 +326,8 @@ def build_segments(
     """
     from miru_spark import analyzers as anz
 
-    stopwords = anz.load(index_dir).stopwords
+    analyzer = anz.load(index_dir)
+    stopwords = analyzer.stopwords
     seg_dir = os.path.join(index_dir, "segments")
     meta_dir = os.path.join(index_dir, "doc_meta_local")
     man_dir = os.path.join(index_dir, "manifests")
@@ -343,7 +358,7 @@ def build_segments(
                 m["status"] = "skipped"
                 yield pd.DataFrame([m])[[f.name for f in MANIFEST_ROW_SCHEMA.fields]]
                 return
-        rows, stats, meta = _build_segment_rows(pdf, stopwords)
+        rows, stats, meta = _build_segment_rows(pdf, stopwords, analyzer)
         meta = meta.append_column("pid", pa.array([pid] * len(meta), pa.int32()))
         seg_file = os.path.join(seg_dir, f"seg_{pid}.parquet")
         meta_file = os.path.join(meta_dir, f"meta_{pid}.parquet")

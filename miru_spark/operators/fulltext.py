@@ -368,26 +368,34 @@ def ft_engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_documents_index_stopworded(
-    spark: SparkSession, sf_dir: str, locale: str = "en"
+    spark: SparkSession, sf_dir: str, locale: str = "en", stem: str = ""
 ) -> str:
     """Like build_documents_index but with a locale stopword analyzer
     (Q2: analyzers.find_analyzer(locale, True) — the TermAnalyzers path;
-    xx_yy locales walk down to xx per TermAnalyzers.java:120-136).
-    Separate cached dir per locale: the analyzer is part of the index
+    xx_yy locales walk down to xx per TermAnalyzers.java:120-136), plus an
+    optional light stemmer (``stem="s"``, analyzers.py S-stemmer). Separate
+    cached dir per (locale, stem): the analyzer is part of the index
     identity."""
-    key = f"sw:{locale}:{sf_dir}"
+    key = f"sw:{locale}:{stem}:{sf_dir}"
     idx = _ENGINE_INDEX_CACHE.get(key)
     if idx and os.path.exists(os.path.join(idx, "corpus_stats.json")):
         return idx
+    from miru_spark import analyzers as anz
     from miru_spark.index.build import build_index
 
+    tag = f"{locale}_{stem}" if stem else locale
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"miru_idx_sw_{locale}_v1_" + sf_dir.strip("/").replace("/", "_"),
+        f"miru_idx_sw_{tag}_v1_" + sf_dir.strip("/").replace("/", "_"),
     )
     corpus = _docs_as_corpus(_docs(spark, sf_dir))
     build_index(
-        spark, corpus, idx, num_partitions=8, resume=True, analyzer=(locale, True)
+        spark,
+        corpus,
+        idx,
+        num_partitions=8,
+        resume=True,
+        analyzer=anz.find_analyzer(locale, True, stem),
     )
     _ENGINE_INDEX_CACHE[key] = idx
     return idx
@@ -419,6 +427,26 @@ def ft_bm25_stopworded_de(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_documents_index_stopworded(spark, sf_dir, locale="de_at")
     res = search_distributed(spark, idx, "der merge und sort", k=10)
+    return _finish_engine_topk(spark, res)
+
+
+def ft_bm25_stemmed_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 light stemming end-to-end: index built with the en stopword
+    analyzer + the S-stemmer (analyzers.py; Harman 1991 — the deliberately
+    SQL-expressible stand-in for the reference's Lucene per-language
+    Snowball stemmers, TermAnalyzers.java:51-84). The query carries a
+    stopword ('the') and two INFLECTED terms ('merges', 'sorts') that exist
+    in the raw corpus but NOT in the stemmed dictionary (every occurrence
+    stemmed to merge/sort at build time) — un-stemmed query terms would hit
+    the required-term short circuit and return empty, and an un-stemmed
+    index would flip df/tf/doc_len and the hash. A non-empty exact match
+    therefore proves the stemmer ran identically on BOTH sides, and the
+    DuckDB oracle evaluates the same three suffix rules independently in
+    SQL (STEM_S_SQL_CASE)."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index_stopworded(spark, sf_dir, locale="en", stem="s")
+    res = search_distributed(spark, idx, "the merges sorts", k=10)
     return _finish_engine_topk(spark, res)
 
 

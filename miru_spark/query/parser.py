@@ -234,7 +234,44 @@ def parse_query(q: str, analyzer=None) -> Node:
         node = prune_stopwords(node, analyzer.stopwords)
         if node is None:
             raise ValueError("query is entirely stopwords under this analyzer")
+    if analyzer is not None and analyzer.stem:
+        # stem AFTER stopword pruning — Lucene's EnglishAnalyzer chain order
+        # (StopFilter before the stem filter). Prefix leaves are NOT stemmed:
+        # Lucene multi-term queries bypass the analysis chain.
+        node = _stem_terms(node, analyzer)
+        if node is None:
+            raise ValueError("query is empty after stemming under this analyzer")
     return node
+
+
+def _stem_terms(node: Node, analyzer) -> Node | None:
+    """Map each Term leaf through the analyzer's stemmer; a term that stems
+    to "" drops (collapsing emptied boolean nodes exactly like
+    prune_stopwords — the analyzer's drop-empties rule on the query side)."""
+    from miru_spark.analyzers import stem_s_one
+
+    if isinstance(node, Term):
+        s = stem_s_one(node.term)
+        return Term(s) if s else None
+    if isinstance(node, (Prefix, Field, Range, All)):
+        return node
+    if isinstance(node, (And, Or, Xor)):
+        kids = [_stem_terms(c, analyzer) for c in node.children]
+        kids = [k for k in kids if k is not None]
+        if not kids:
+            return None
+        if len(kids) == 1:
+            return kids[0]
+        return type(node)(tuple(kids))
+    if isinstance(node, Not):
+        pos = _stem_terms(node.positive, analyzer)
+        neg = _stem_terms(node.negative, analyzer)
+        if pos is None:
+            return None if neg is None else Not(All(), neg)
+        if neg is None:
+            return pos
+        return Not(pos, neg)
+    raise TypeError(type(node))
 
 
 def prune_stopwords(node: Node, stopwords) -> Node | None:
