@@ -119,6 +119,9 @@ def main() -> None:
         # BM25 (CNF shapes as data), cross-doc span dedup (Lee et al.)
         "ivf_train", "domain_quota_sample",
         "ft_bm25_batch_cnf", "span_dedup_stats",
+        # S-stemmer analyzer e2e (builds its own stemmed index, like the
+        # stopworded entries — the cost is the build, not the serve)
+        "ft_bm25_stemmed_en",
     ]
     qmap = entry.queries()
     for name in headline:
