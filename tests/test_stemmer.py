@@ -146,6 +146,48 @@ def test_parse_query_stems_terms_not_prefixes():
         qp.parse_query("s", analyzer=a2)
 
 
+def test_stemmed_index_three_path_rank_identity(spark, tmp_path):
+    """Build with the stemmed analyzer: inflected forms never reach the
+    dictionary, and all three query paths (search_local WAND,
+    search_distributed, search_batch) answer a stemming query
+    rank-identically — the same cross-path contract the stopword tests pin."""
+    from miru_spark.corpus import generate_corpus
+    from miru_spark.index.build import build_index
+    from miru_spark.query.scorer import (
+        load_postings,
+        search_batch,
+        search_distributed,
+        search_local,
+    )
+
+    corpus = generate_corpus(spark, n_rows=150, seed=7, partitions=2)
+    idx = str(tmp_path / "stem")
+    build_index(
+        spark, corpus, idx, num_partitions=2,
+        analyzer=anz.find_analyzer("en", True, "s"),
+    )
+    # the corpus contains 'merges'/'sorts' as raw text, but every occurrence
+    # stemmed at build time — only the stems are in the dictionary
+    assert not load_postings(idx, {"merges", "sorts"})
+    assert load_postings(idx, {"merge", "sort"})
+
+    q = "the merges sorts"  # stopword pruned, terms stemmed at parse time
+    loc = search_local(idx, q, k=10)
+    dist = search_distributed(spark, idx, q, k=10).collect()
+    batch = sorted(search_batch(spark, idx, [q], k=10).collect(), key=lambda r: r.rank)
+    assert [int(d) for d in loc["doc_id"]] == [r.doc_id for r in dist]
+    for a, b in zip(loc["score"], [r.score for r in dist]):
+        assert abs(a - b) < 1e-9
+    # batch path cuts/ranks on the 6-dp-rounded score (same doc set + order)
+    assert [int(d) for d in loc["doc_id"]] == [r.doc_id for r in batch]
+    for a, b in zip(loc["score"], [r.score for r in batch]):
+        assert abs(a - b) < 1e-6
+    # and the stemmed query equals querying the stems directly
+    direct = search_local(idx, "merge sorts", k=10)
+    assert loc["doc_id"].tolist() == direct["doc_id"].tolist()
+    assert loc["score"].tolist() == direct["score"].tolist()
+
+
 def test_config_roundtrip():
     a = anz.find_analyzer("en", True, "s")
     assert a.stem == "s" and a.stopwords
