@@ -43,7 +43,14 @@ from pyspark.sql import functions as F
 
 from miru_spark import analyzer as base
 from miru_spark.stopwords_en import EN_STOPWORDS
-from miru_spark.stopwords_langs import DE_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS
+from miru_spark.stopwords_langs import (
+    DE_STOPWORDS,
+    ES_STOPWORDS,
+    FR_STOPWORDS,
+    IT_STOPWORDS,
+    NL_STOPWORDS,
+    PT_STOPWORDS,
+)
 
 
 # ---- the S-stemmer (Harman 1991), one rule set, four implementations ----
@@ -171,15 +178,20 @@ class Analyzer:
 # locale → stop set when use_stopwords (TermAnalyzers.java:51-84 registers
 # per-language Lucene analyzers; we register stop sets). en_ie shares the
 # English set exactly as the reference passes ENGLISH_STOP_WORDS_SET to
-# IrishAnalyzer (TermAnalyzers.java:57). de/es/fr carry the public Snowball
-# lists (the Lucene per-language analyzer defaults the reference constructs
-# at :60/:76/:61); more via register_stopwords.
+# IrishAnalyzer (TermAnalyzers.java:57). de/es/fr/it/pt/nl carry the public
+# Snowball lists (the Lucene per-language analyzer defaults the reference
+# constructs at :60/:76/:61/:69/:75/:72); more via register_stopwords.
+# pt_br resolves to pt via the fallback walk (the reference's
+# BrazilianAnalyzer stop set is near-identical to the Portuguese one).
 _STOPWORD_SETS: dict[str, frozenset] = {
     "en": EN_STOPWORDS,
     "en_ie": EN_STOPWORDS,
     "de": DE_STOPWORDS,
     "es": ES_STOPWORDS,
     "fr": FR_STOPWORDS,
+    "it": IT_STOPWORDS,
+    "pt": PT_STOPWORDS,
+    "nl": NL_STOPWORDS,
 }
 
 

@@ -1,8 +1,10 @@
-"""German / Spanish / French stopword lists (data constants).
+"""German / Spanish / French / Italian / Portuguese / Dutch stopword lists
+(data constants).
 
 Public Snowball-project stop lists — the same lists Lucene's
-GermanAnalyzer / SpanishAnalyzer / FrenchAnalyzer ship as their defaults,
-which is what the reference registers per language
+GermanAnalyzer / SpanishAnalyzer / FrenchAnalyzer / ItalianAnalyzer /
+PortugueseAnalyzer / DutchAnalyzer ship as their defaults, which is what
+the reference registers per language
 (miru-plugin/.../query/TermAnalyzers.java:51-84: ``new GermanAnalyzer()``
 etc., each constructed with its Lucene default stop set). Applied by
 ``analyzers.find_analyzer(locale, use_stopwords=True)`` AFTER the frozen
@@ -104,4 +106,90 @@ FR_STOPWORDS = frozenset((
     'auraient', 'avais', 'avait', 'avions', 'aviez', 'avaient', 'eut', 'eûmes',
     'eûtes', 'eurent', 'aie', 'aies', 'ait', 'ayons', 'ayez', 'aient', 'eusse',
     'eusses', 'eût', 'eussions', 'eussiez', 'eussent',
+))
+
+IT_STOPWORDS = frozenset((
+    # Italian Snowball stop list — Lucene ItalianAnalyzer default
+    # (TermAnalyzers.java:69 `new ItalianAnalyzer()`)
+    'ad', 'al', 'allo', 'ai', 'agli', 'all', 'agl', 'alla', 'alle', 'con', 'col',
+    'coi', 'da', 'dal', 'dallo', 'dai', 'dagli', 'dall', 'dagl', 'dalla', 'dalle',
+    'di', 'del', 'dello', 'dei', 'degli', 'dell', 'degl', 'della', 'delle', 'in',
+    'nel', 'nello', 'nei', 'negli', 'nell', 'negl', 'nella', 'nelle', 'su', 'sul',
+    'sullo', 'sui', 'sugli', 'sull', 'sugl', 'sulla', 'sulle', 'per', 'tra',
+    'contro', 'io', 'tu', 'lui', 'lei', 'noi', 'voi', 'loro', 'mio', 'mia',
+    'miei', 'mie', 'tuo', 'tua', 'tuoi', 'tue', 'suo', 'sua', 'suoi', 'sue',
+    'nostro', 'nostra', 'nostri', 'nostre', 'vostro', 'vostra', 'vostri',
+    'vostre', 'mi', 'ti', 'ci', 'vi', 'lo', 'la', 'li', 'le', 'gli', 'ne', 'il',
+    'un', 'uno', 'una', 'ma', 'ed', 'se', 'perché', 'anche', 'come', 'dov',
+    'dove', 'che', 'chi', 'cui', 'non', 'più', 'quale', 'quanto', 'quanti',
+    'quanta', 'quante', 'quello', 'quelli', 'quella', 'quelle', 'questo',
+    'questi', 'questa', 'queste', 'si', 'tutto', 'tutti', 'a', 'c', 'e', 'i',
+    'l', 'o', 'ho', 'hai', 'ha', 'abbiamo', 'avete', 'hanno', 'abbia', 'abbiate',
+    'abbiano', 'avrò', 'avrai', 'avrà', 'avremo', 'avrete', 'avranno', 'avrei',
+    'avresti', 'avrebbe', 'avremmo', 'avreste', 'avrebbero', 'avevo', 'avevi',
+    'aveva', 'avevamo', 'avevate', 'avevano', 'ebbi', 'avesti', 'ebbe', 'avemmo',
+    'aveste', 'ebbero', 'avessi', 'avesse', 'avessimo', 'avessero', 'avendo',
+    'avuto', 'avuta', 'avuti', 'avute', 'sono', 'sei', 'è', 'siamo', 'siete',
+    'sia', 'siate', 'siano', 'sarò', 'sarai', 'sarà', 'saremo', 'sarete',
+    'saranno', 'sarei', 'saresti', 'sarebbe', 'saremmo', 'sareste', 'sarebbero',
+    'ero', 'eri', 'era', 'eravamo', 'eravate', 'erano', 'fui', 'fosti', 'fu',
+    'fummo', 'foste', 'furono', 'fossi', 'fosse', 'fossimo', 'fossero',
+    'essendo', 'faccio', 'fai', 'facciamo', 'fanno', 'faccia', 'facciate',
+    'facciano', 'farò', 'farai', 'farà', 'faremo', 'farete', 'faranno', 'farei',
+    'faresti', 'farebbe', 'faremmo', 'fareste', 'farebbero', 'facevo', 'facevi',
+    'faceva', 'facevamo', 'facevate', 'facevano', 'feci', 'facesti', 'fece',
+    'facemmo', 'faceste', 'fecero', 'facessi', 'facesse', 'facessimo',
+    'facessero', 'facendo', 'sto', 'stai', 'sta', 'stiamo', 'stanno', 'stia',
+    'stiate', 'stiano', 'starò', 'starai', 'starà', 'staremo', 'starete',
+    'staranno', 'starei', 'staresti', 'starebbe', 'staremmo', 'stareste',
+    'starebbero', 'stavo', 'stavi', 'stava', 'stavamo', 'stavate', 'stavano',
+    'stetti', 'stesti', 'stette', 'stemmo', 'steste', 'stettero', 'stessi',
+    'stesse', 'stessimo', 'stessero', 'stando',
+))
+
+PT_STOPWORDS = frozenset((
+    # Portuguese Snowball stop list — Lucene PortugueseAnalyzer default
+    # (TermAnalyzers.java:75 `new PortugueseAnalyzer()`)
+    'de', 'a', 'o', 'que', 'e', 'do', 'da', 'em', 'um', 'para', 'é', 'com',
+    'não', 'uma', 'os', 'no', 'se', 'na', 'por', 'mais', 'as', 'dos', 'como',
+    'mas', 'foi', 'ao', 'ele', 'das', 'tem', 'à', 'seu', 'sua', 'ou', 'ser',
+    'quando', 'muito', 'há', 'nos', 'já', 'está', 'eu', 'também', 'só', 'pelo',
+    'pela', 'até', 'isso', 'ela', 'entre', 'era', 'depois', 'sem', 'mesmo',
+    'aos', 'ter', 'seus', 'quem', 'nas', 'me', 'esse', 'eles', 'estão', 'você',
+    'tinha', 'foram', 'essa', 'num', 'nem', 'suas', 'meu', 'às', 'minha', 'têm',
+    'numa', 'pelos', 'elas', 'havia', 'seja', 'qual', 'será', 'nós', 'tenho',
+    'lhe', 'deles', 'essas', 'esses', 'pelas', 'este', 'fosse', 'dele', 'tu',
+    'te', 'vocês', 'vos', 'lhes', 'meus', 'minhas', 'teu', 'tua', 'teus',
+    'tuas', 'nosso', 'nossa', 'nossos', 'nossas', 'dela', 'delas', 'esta',
+    'estes', 'estas', 'aquele', 'aquela', 'aqueles', 'aquelas', 'isto',
+    'aquilo', 'estou', 'estamos', 'estive', 'esteve', 'estivemos', 'estiveram',
+    'estava', 'estávamos', 'estavam', 'estivera', 'estivéramos', 'esteja',
+    'estejamos', 'estejam', 'estivesse', 'estivéssemos', 'estivessem',
+    'estiver', 'estivermos', 'estiverem', 'hei', 'hão', 'houve', 'houvemos',
+    'houveram', 'houvera', 'houvéramos', 'haja', 'hajamos', 'hajam', 'houvesse',
+    'houvéssemos', 'houvessem', 'houver', 'houvermos', 'houverem', 'houverei',
+    'houverá', 'houveremos', 'houverão', 'houveria', 'houveríamos',
+    'houveriam', 'sou', 'somos', 'são', 'éramos', 'eram', 'fui', 'fomos',
+    'fora', 'fôramos', 'sejamos', 'sejam', 'fôssemos', 'fossem', 'for',
+    'formos', 'forem', 'serei', 'seremos', 'serão', 'seria', 'seríamos',
+    'seriam', 'tenha', 'tenhamos', 'tenham', 'tinham', 'tive', 'teve',
+    'tivemos', 'tiveram', 'tivera', 'tivéramos', 'tivesse', 'tivéssemos',
+    'tivessem', 'tiver', 'tivermos', 'tiverem', 'terei', 'terá', 'teremos',
+    'terão', 'teria', 'teríamos', 'teriam',
+))
+
+NL_STOPWORDS = frozenset((
+    # Dutch Snowball stop list — Lucene DutchAnalyzer default
+    # (TermAnalyzers.java:72 `new DutchAnalyzer()`)
+    'de', 'en', 'van', 'ik', 'te', 'dat', 'die', 'in', 'een', 'hij', 'het',
+    'niet', 'zijn', 'is', 'was', 'op', 'aan', 'met', 'als', 'voor', 'had',
+    'er', 'maar', 'om', 'hem', 'dan', 'zou', 'of', 'wat', 'mijn', 'men', 'dit',
+    'zo', 'door', 'over', 'ze', 'zich', 'bij', 'ook', 'tot', 'je', 'mij',
+    'uit', 'der', 'daar', 'haar', 'naar', 'heb', 'hoe', 'heeft', 'hebben',
+    'deze', 'u', 'want', 'nog', 'zal', 'me', 'zij', 'nu', 'ge', 'geen',
+    'omdat', 'iets', 'worden', 'toch', 'al', 'waren', 'veel', 'meer', 'doen',
+    'toen', 'moet', 'ben', 'zonder', 'kan', 'hun', 'dus', 'alles', 'onder',
+    'ja', 'eens', 'hier', 'wie', 'werd', 'altijd', 'doch', 'wordt', 'wezen',
+    'kunnen', 'ons', 'zelf', 'tegen', 'na', 'reeds', 'wil', 'kon', 'niets',
+    'uw', 'iemand', 'geweest', 'andere',
 ))

@@ -55,20 +55,88 @@ DE_PIN = [
 
 
 def test_language_stop_sets_registered():
-    from miru_spark.stopwords_langs import DE_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS
+    from miru_spark.stopwords_langs import (
+        DE_STOPWORDS,
+        ES_STOPWORDS,
+        FR_STOPWORDS,
+        IT_STOPWORDS,
+        NL_STOPWORDS,
+        PT_STOPWORDS,
+    )
 
     assert anz.find_analyzer("de", True).stopwords == DE_STOPWORDS
     assert anz.find_analyzer("de_at", True).stopwords == DE_STOPWORDS  # walk
     assert anz.find_analyzer("es", True).stopwords == ES_STOPWORDS
     assert anz.find_analyzer("fr_ca", True).stopwords == FR_STOPWORDS
+    assert anz.find_analyzer("it", True).stopwords == IT_STOPWORDS
+    assert anz.find_analyzer("pt_br", True).stopwords == PT_STOPWORDS  # walk
+    assert anz.find_analyzer("nl", True).stopwords == NL_STOPWORDS
     for w in ("der", "und", "nicht"):
         assert w in DE_STOPWORDS
     for w in ("que", "para", "como"):
         assert w in ES_STOPWORDS
     for w in ("le", "dans", "pour"):
         assert w in FR_STOPWORDS
+    for w in ("della", "questo", 'perché'):
+        assert w in IT_STOPWORDS
+    for w in ("uma", "com", "por"):
+        assert w in PT_STOPWORDS
+    for w in ("het", "een", "niet"):
+        assert w in NL_STOPWORDS
     # disjoint from English where it matters for the de gate query
     assert "der" not in EN_STOPWORDS and "und" not in EN_STOPWORDS
+
+
+IT_PIN = [
+    # (raw, tokens under the Italian-stopword analyzer)
+    ("il merge della sort", ["merge", "sort"]),
+    ("questo merge anche", ["merge"]),
+    ("della questi sulle", []),
+    ("the merge", ["the", "merge"]),  # 'the' is NOT an Italian stopword
+]
+
+
+def test_it_pt_nl_four_impl_parity(spark):
+    """Same 4-impl parity contract as en/de for the three new sets."""
+    import duckdb as _duckdb
+
+    from miru_spark.analyzer import tokenize_arrow_flat
+
+    cases = [
+        (anz.find_analyzer("it", True), IT_PIN),
+        (
+            anz.find_analyzer("pt_br", True),  # walks to pt
+            [("uma merge com sort", ["merge", "sort"]), ("por mais como", [])],
+        ),
+        (
+            anz.find_analyzer("nl", True),
+            [("het merge een sort", ["merge", "sort"]), ("niet van daar", [])],
+        ),
+    ]
+    for a, pins in cases:
+        for raw, expected in pins:
+            assert a.tokenize_one(raw) == expected, (a.locale, raw)
+        s = pd.Series([r for r, _ in pins])
+        assert a.tokenize_pandas(s).tolist() == [e for _, e in pins]
+        df = spark.createDataFrame([(r,) for r, _ in pins], "content string")
+        got = [r["t"] for r in df.select(a.tokens_col("content").alias("t")).collect()]
+        assert got == [e for _, e in pins]
+        con = _duckdb.connect()
+        con.execute("create table t(content varchar)")
+        con.executemany("insert into t values (?)", [(r,) for r, _ in pins])
+        got = [
+            r[0]
+            for r in con.execute(
+                f"select {a.duckdb_tokens_sql('content')} from t"
+            ).fetchall()
+        ]
+        assert got == [e for _, e in pins]
+        codes, vocab, parents, _ = tokenize_arrow_flat(s)
+        keep = ~a.stop_mask_for_vocab(vocab)[codes]
+        per_row = [[] for _ in range(len(s))]
+        for c, p in zip(codes[keep], parents[keep]):
+            per_row[p].append(vocab[c])
+        assert per_row == [e for _, e in pins]
 
 
 def test_de_four_impl_parity(spark):
