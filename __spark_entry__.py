@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": text.lang_id,
         "stratified_split": text.stratified_split,  # deterministic hash train/val/test
         "ngram_repetition": text.ngram_repetition,  # within-doc dup-shingle quality signal
+        "pack_sequences": text.pack_sequences,  # concat-and-chunk packing audit
         # per-source quota capping (corpus balancing) — deterministic hash sample
         "domain_quota_sample": text.domain_quota_sample,
         "doc_fingerprints": text.doc_fingerprints,
@@ -1259,6 +1260,25 @@ SELECT lang, (cum // 20000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
 FROM s GROUP BY lang, shard ORDER BY lang, shard
 """,
         "lang_id": _lang_id_sql(),
+        # packing is a pure function of token offsets: the oracle computes
+        # the same per-lang prefix sum with one window (fine at sf0.01; the
+        # Spark side uses the two-level bucketed form for scale)
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id, lang, len({_TOKS})::BIGINT AS n FROM documents),
+s AS (
+  SELECT lang, doc_id, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+       ((sum(n) + 2047) // 2048)::BIGINT AS n_seqs,
+       sum(CASE WHEN n > 0 AND (cum // 2048) <> ((cum + n - 1) // 2048)
+                THEN 1 ELSE 0 END)::BIGINT AS n_straddle_docs,
+       sum(CASE WHEN n > 0 THEN ((cum + n - 1) // 2048) - (cum // 2048)
+                ELSE 0 END)::BIGINT AS n_crossings,
+       (((sum(n) + 2047) // 2048) * 2048 - sum(n))::BIGINT AS pad_tokens
+FROM s GROUP BY lang ORDER BY lang
+""",
         "stratified_split": f"""
 WITH b AS (
   SELECT lang,

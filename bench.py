@@ -122,6 +122,8 @@ def main() -> None:
         # S-stemmer analyzer e2e (builds its own stemmed index, like the
         # stopworded entries — the cost is the build, not the serve)
         "ft_bm25_stemmed_en",
+        # concat-and-chunk packing audit (two-level prefix sum)
+        "pack_sequences",
     ]
     qmap = entry.queries()
     for name in headline:

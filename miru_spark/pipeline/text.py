@@ -424,3 +424,83 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 10) -> Da
     return audit.select(
         "source", "n_total", n_kept.alias("n_kept"), "kept_id_sum", "kept_chars"
     ).orderBy("source")
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, seq_len: int = 2048
+) -> DataFrame:
+    """Concat-and-chunk sequence packing audit — the last hop before a
+    tokenized corpus becomes training batches: per lang, docs concatenate
+    in deterministic doc_id order into one token stream that splits into
+    fixed ``seq_len`` sequences (docs MAY straddle sequence boundaries —
+    the GPT-style packing that wastes no tokens, vs the pad-per-doc form).
+    The packing itself is a pure function of each doc's token OFFSET, so
+    the audit every pipeline wants — how many sequences, how many docs get
+    split across a boundary, how many boundary crossings, how much tail
+    padding — reduces to a distributed prefix sum, never a sequential scan.
+
+    Scale shape: the same two-level prefix sum as ``training_shards``
+    (within-bucket window + broadcast per-lang bucket offsets) — the
+    offsets relation is #buckets rows, so the one ordered structure the
+    semantics require never serializes a lang onto one task. Everything
+    else is map-side int arithmetic on (start, end) offsets.
+
+    Output per lang: (lang, n_docs, total_tokens, n_seqs,
+    n_straddle_docs, n_crossings, pad_tokens) where
+    n_seqs = ceil(total/seq_len), a doc straddles when floor(start/L) !=
+    floor((end-1)/L), crossings = floor((end-1)/L) - floor(start/L), and
+    pad_tokens is the tail waste of the final partial sequence.
+    """
+    L = F.lit(seq_len)
+    bucket_width = 4096
+    counted = scoped_cache(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+            F.floor(F.col("doc_id") / F.lit(bucket_width)).alias("bkt"),
+        ),
+        "pack_sequences",
+    )
+    wb = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_cum = F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+    bkt_tot = counted.groupBy("lang", "bkt").agg(F.sum("n_tokens").alias("tot"))
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bkt_tot.select(
+        "lang", "bkt", F.coalesce(F.sum("tot").over(wo), F.lit(0)).alias("off")
+    )
+    start = local_cum + F.col("off")
+    end = start + F.col("n_tokens")
+    first_seq = F.floor(start / L)
+    last_seq = F.floor((end - F.lit(1)) / L)
+    nonempty = F.col("n_tokens") > 0
+    per_doc = counted.join(F.broadcast(offsets), ["lang", "bkt"]).select(
+        "lang",
+        "n_tokens",
+        F.when(nonempty & (first_seq != last_seq), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("straddle"),
+        F.when(nonempty, last_seq - first_seq).otherwise(F.lit(0)).alias("crossings"),
+    )
+    total = F.sum("n_tokens")
+    n_seqs = F.floor((total + L - F.lit(1)) / L)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            total.cast("long").alias("total_tokens"),
+            n_seqs.cast("long").alias("n_seqs"),
+            F.sum("straddle").cast("long").alias("n_straddle_docs"),
+            F.sum("crossings").cast("long").alias("n_crossings"),
+            (n_seqs * L - total).cast("long").alias("pad_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -115,3 +115,33 @@ def test_span_dedup_flags_cross_doc_copies(spark, tmp_path):
     assert r["n_docs"] == 3 and r["total_spans"] == 12
     assert r["total_dup_spans"] == 8  # docs 1+2 fully duplicated
     assert r["sum_dup_ppm"] == 2_000_000 and r["n_flagged"] == 2
+
+
+def test_pack_sequences_hand_computed(spark, tmp_path):
+    """seq_len=10 fixture small enough to pack by hand; doc_ids spread
+    >4096 apart so every doc lands in its OWN prefix-sum bucket (the
+    two-level offset join is exercised, not just the in-bucket window),
+    and the result must be identical at 1 and 16 input partitions."""
+    from miru_spark.pipeline.text import pack_sequences
+
+    def toks(k, p="w"):
+        return " ".join(f"{p}{i}" for i in range(k))
+
+    # en stream in doc_id order: 4, 8, 12, 0 tokens -> offsets 0/4/12/24
+    #   doc 4+8: crosses the 10-boundary once each; total 24 -> 3 seqs, pad 6
+    # de: one 25-token doc -> spans seqs 0..2: 1 straddler, 2 crossings, pad 5
+    rows = [
+        (0, toks(4), "en", "s", 1),
+        (5000, toks(8), "en", "s", 1),
+        (10000, toks(12), "en", "s", 1),
+        (15000, "", "en", "s", 1),  # empty doc: counts in n_docs only
+        (2, toks(25, "d"), "de", "s", 1),
+    ]
+    for parts, sub in ((1, "a"), (16, "b")):
+        p = str(tmp_path / sub)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(parts).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+        out = {r["lang"]: tuple(r) for r in pack_sequences(spark, p, seq_len=10).collect()}
+        assert out["en"] == ("en", 4, 24, 3, 2, 2, 6), out["en"]
+        assert out["de"] == ("de", 1, 25, 3, 1, 2, 5), out["de"]
