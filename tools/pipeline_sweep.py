@@ -105,6 +105,7 @@ def resolve_ops(names: list[str]):
         "stratified_split": text.stratified_split,
         "ngram_repetition": text.ngram_repetition,
         "span_dedup_stats": dedup.span_dedup_stats,
+        "pack_sequences": text.pack_sequences,
     }
     return [(n, registry[n]) for n in names]
 
