@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": text.stratified_split,  # deterministic hash train/val/test
         "ngram_repetition": text.ngram_repetition,  # within-doc dup-shingle quality signal
         "pack_sequences": text.pack_sequences,  # concat-and-chunk packing audit
+        "mixture_resample": text.mixture_resample,  # deterministic mixture up/down-sampling
         # per-source quota capping (corpus balancing) — deterministic hash sample
         "domain_quota_sample": text.domain_quota_sample,
         "doc_fingerprints": text.doc_fingerprints,
@@ -1278,6 +1279,28 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
                 ELSE 0 END)::BIGINT AS n_crossings,
        (((sum(n) + 2047) // 2048) * 2048 - sum(n))::BIGINT AS pad_tokens
 FROM s GROUP BY lang ORDER BY lang
+""",
+        # the oracle computes sum(reps) arithmetically; the Spark side
+        # aggregates the REAL posexplode'd emit relation — equality proves
+        # the emitted copies are exactly the arithmetic's copies
+        "mixture_resample": """
+WITH w AS (
+  SELECT source, doc_id, n_chars,
+         500000 + (('0x' || substr(md5('mixw#' || source), 1, 12))::BIGINT % 4)
+                  * 750000 AS w_ppm,
+         ('0x' || substr(md5('mixf#' || doc_id::VARCHAR), 1, 12))::BIGINT
+           % 1000000 AS f
+  FROM documents),
+r AS (
+  SELECT source, w_ppm, doc_id, n_chars,
+         (w_ppm // 1000000)
+           + CASE WHEN f < (w_ppm % 1000000) THEN 1 ELSE 0 END AS reps
+  FROM w)
+SELECT source, any_value(w_ppm)::BIGINT AS w_ppm, count(*)::BIGINT AS n_total,
+       sum(reps)::BIGINT AS n_emitted,
+       sum(doc_id * reps)::BIGINT AS emitted_id_sum,
+       sum(n_chars * reps)::BIGINT AS emitted_chars
+FROM r GROUP BY source ORDER BY source
 """,
         "stratified_split": f"""
 WITH b AS (

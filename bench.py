@@ -122,8 +122,9 @@ def main() -> None:
         # S-stemmer analyzer e2e (builds its own stemmed index, like the
         # stopworded entries — the cost is the build, not the serve)
         "ft_bm25_stemmed_en",
-        # concat-and-chunk packing audit (two-level prefix sum)
-        "pack_sequences",
+        # concat-and-chunk packing audit (two-level prefix sum) and
+        # deterministic mixture resampling (map-only emit + audit)
+        "pack_sequences", "mixture_resample",
     ]
     qmap = entry.queries()
     for name in headline:

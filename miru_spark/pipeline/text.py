@@ -504,3 +504,88 @@ def pack_sequences(
         )
         .orderBy("lang")
     )
+
+
+def resample_emit(
+    docs: DataFrame,
+    base_ppm: int = 500_000,
+    step_ppm: int = 750_000,
+    n_weights: int = 4,
+) -> DataFrame:
+    """Deterministic fractional mixture resampling over any
+    (doc_id, source, ...) relation — the epoch-construction op that turns a
+    per-source weight (0.5x, 1.25x, 2x, ...) into an actual emitted-copy
+    relation, the way LLM training recipes up-/down-sample sources into the
+    final mixture. Each doc emits ``floor(w)`` copies plus one more iff its
+    salted 48-bit hash falls below ``frac(w)`` of hash space — so a 1.25x
+    source repeats every doc once and a deterministic quarter of docs
+    twice, a 0.5x source keeps a deterministic half. Map-only (hash +
+    array_repeat explode), reproducible at any partitioning, never
+    ``rand()`` — a retried task re-emits the identical copies, which is
+    what makes the op usable under speculative execution at 100 TB.
+
+    The per-source weight is itself derived deterministically here
+    (``base_ppm + (hash(source) % n_weights) * step_ppm``) so the gate is
+    self-contained; a production caller would broadcast-join a real weight
+    table instead — the emit shape is identical.
+
+    Output: input columns + ``w_ppm`` + ``rep`` (0-based copy index, the
+    column an epoch writer would salt shuffling/sharding by)."""
+    M = 1_000_000
+    w_ppm = (
+        F.lit(base_ppm)
+        + (_hash48(F.col("source"), "mixw#") % F.lit(n_weights)) * F.lit(step_ppm)
+    ).cast("long")
+    f = _hash48(F.col("doc_id"), "mixf#") % F.lit(M)
+    reps = (
+        F.floor(F.col("w_ppm") / F.lit(M))
+        + F.when(f < F.col("w_ppm") % F.lit(M), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        docs.withColumn("w_ppm", w_ppm)
+        .withColumn("_reps", reps)
+        .select(
+            "*",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("_reps"))).alias("rep", "_one"),
+        )
+        .drop("_reps", "_one")
+    )
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate audit over ``resample_emit``: per source, the weight, input doc
+    count, emitted copy count, and order-insensitive integer checksums of
+    WHICH copies were emitted (id-sum and chars-sum over multiplicities) —
+    exact on both engines. ``n_total`` comes from the pre-explode relation
+    so 0-rep (downsampled) docs still count as input."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    audit = (
+        resample_emit(docs)
+        .groupBy("source")
+        .agg(
+            F.first("w_ppm").alias("w_ppm"),
+            F.count("*").cast("long").alias("n_emitted"),
+            F.sum("doc_id").cast("long").alias("emitted_id_sum"),
+            F.sum("n_chars").cast("long").alias("emitted_chars"),
+        )
+    )
+    return (
+        totals.join(audit, "source", "left")
+        .select(
+            "source",
+            # a source whose every doc downsampled away still reports its w
+            F.coalesce(
+                F.col("w_ppm"),
+                (
+                    F.lit(500_000)
+                    + (_hash48(F.col("source"), "mixw#") % F.lit(4)) * F.lit(750_000)
+                ).cast("long"),
+            ).alias("w_ppm"),
+            "n_total",
+            F.coalesce(F.col("n_emitted"), F.lit(0)).alias("n_emitted"),
+            F.coalesce(F.col("emitted_id_sum"), F.lit(0)).alias("emitted_id_sum"),
+            F.coalesce(F.col("emitted_chars"), F.lit(0)).alias("emitted_chars"),
+        )
+        .orderBy("source")
+    )

@@ -145,3 +145,37 @@ def test_pack_sequences_hand_computed(spark, tmp_path):
         out = {r["lang"]: tuple(r) for r in pack_sequences(spark, p, seq_len=10).collect()}
         assert out["en"] == ("en", 4, 24, 3, 2, 2, 6), out["en"]
         assert out["de"] == ("de", 1, 25, 3, 1, 2, 5), out["de"]
+
+
+def test_resample_emit_deterministic_and_exact(spark):
+    """Every doc emits floor(w) or floor(w)+1 copies with rep = 0..reps-1;
+    the emitted relation is identical across partitionings and re-runs
+    (retry/speculation safety); per-source emitted counts track w_ppm."""
+    from miru_spark.pipeline.text import resample_emit
+
+    rows = [(i, f"s{i % 3}", i % 11) for i in range(600)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out1 = sorted(
+        (r["source"], r["doc_id"], r["rep"], r["w_ppm"])
+        for r in resample_emit(df1).collect()
+    )
+    out2 = sorted(
+        (r["source"], r["doc_id"], r["rep"], r["w_ppm"])
+        for r in resample_emit(df1.repartition(13)).collect()
+    )
+    assert out1 == out2 and out1 == sorted(set(out1))
+    per_doc = {}
+    w_of = {}
+    for src, did, rep, w in out1:
+        per_doc.setdefault((src, did), []).append(rep)
+        w_of[src] = w
+    for (src, did), reps in per_doc.items():
+        w = w_of[src]
+        assert reps == list(range(len(reps)))  # rep is a dense 0-based index
+        assert len(reps) in (w // 1_000_000, w // 1_000_000 + 1)
+    # emitted/total ratio tracks the weight (200 docs/source: loose bound)
+    from collections import Counter
+
+    emitted = Counter(src for src, _, _, _ in out1)
+    for src, w in w_of.items():
+        assert abs(emitted[src] / 200 - w / 1_000_000) < 0.15, (src, w, emitted[src])
