@@ -106,6 +106,7 @@ def resolve_ops(names: list[str]):
         "ngram_repetition": text.ngram_repetition,
         "span_dedup_stats": dedup.span_dedup_stats,
         "pack_sequences": text.pack_sequences,
+        "mixture_resample": text.mixture_resample,
     }
     return [(n, registry[n]) for n in names]
 
