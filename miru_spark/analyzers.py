@@ -110,6 +110,13 @@ class Analyzer:
     stopwords: frozenset = field(default_factory=frozenset)
     stem: str = ""  # "" (none) | "s" (Harman S-stemmer)
 
+    def stem_one(self, w: str) -> str:
+        """Per-word stem under THIS analyzer's configured stemmer — the
+        query side (parser._stem_terms) dispatches through here so a future
+        stemmer kind can never leave parse-time and build-time rules
+        disagreeing. No-stem analyzers return the word unchanged."""
+        return stem_s_one(w) if self.stem else w
+
     def tokens_col(self, content: Column | str) -> Column:
         c = base.tokens_col(content)
         if self.stopwords:
@@ -126,7 +133,7 @@ class Analyzer:
         if self.stopwords:
             toks = [t for t in toks if t not in self.stopwords]
         if self.stem:
-            toks = [s for s in (stem_s_one(t) for t in toks) if s]
+            toks = [s for s in (self.stem_one(t) for t in toks) if s]
         return toks
 
     def tokenize_pandas(self, content: pd.Series) -> pd.Series:
@@ -135,7 +142,9 @@ class Analyzer:
             sw = self.stopwords
             toks = toks.map(lambda ts: [t for t in ts if t not in sw])
         if self.stem:
-            toks = toks.map(lambda ts: [s for s in (stem_s_one(t) for t in ts) if s])
+            toks = toks.map(
+                lambda ts: [s for s in (self.stem_one(t) for t in ts) if s]
+            )
         return toks
 
     def stop_mask_for_vocab(self, vocab: np.ndarray) -> np.ndarray:
@@ -154,7 +163,7 @@ class Analyzer:
         stopword isin). Words that stem to "" are dropped by the builder."""
         if not self.stem:
             return vocab
-        return np.array([stem_s_one(w) for w in vocab.tolist()], dtype=object)
+        return np.array([self.stem_one(w) for w in vocab.tolist()], dtype=object)
 
     def duckdb_tokens_sql(self, col: str = "content") -> str:
         out = base.duckdb_tokens_sql(col)

@@ -506,6 +506,15 @@ def pack_sequences(
     )
 
 
+def _mixture_w_ppm(base_ppm: int, step_ppm: int, n_weights: int):
+    """The self-contained per-source weight both the emit and the audit's
+    empty-source fallback derive — one expression so they can never drift."""
+    return (
+        F.lit(base_ppm)
+        + (_hash48(F.col("source"), "mixw#") % F.lit(n_weights)) * F.lit(step_ppm)
+    ).cast("long")
+
+
 def resample_emit(
     docs: DataFrame,
     base_ppm: int = 500_000,
@@ -532,10 +541,7 @@ def resample_emit(
     Output: input columns + ``w_ppm`` + ``rep`` (0-based copy index, the
     column an epoch writer would salt shuffling/sharding by)."""
     M = 1_000_000
-    w_ppm = (
-        F.lit(base_ppm)
-        + (_hash48(F.col("source"), "mixw#") % F.lit(n_weights)) * F.lit(step_ppm)
-    ).cast("long")
+    w_ppm = _mixture_w_ppm(base_ppm, step_ppm, n_weights)
     f = _hash48(F.col("doc_id"), "mixf#") % F.lit(M)
     reps = (
         F.floor(F.col("w_ppm") / F.lit(M))
@@ -558,10 +564,11 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHICH copies were emitted (id-sum and chars-sum over multiplicities) —
     exact on both engines. ``n_total`` comes from the pre-explode relation
     so 0-rep (downsampled) docs still count as input."""
+    base_ppm, step_ppm, n_weights = 500_000, 750_000, 4
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
     totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
     audit = (
-        resample_emit(docs)
+        resample_emit(docs, base_ppm, step_ppm, n_weights)
         .groupBy("source")
         .agg(
             F.first("w_ppm").alias("w_ppm"),
@@ -576,11 +583,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             # a source whose every doc downsampled away still reports its w
             F.coalesce(
-                F.col("w_ppm"),
-                (
-                    F.lit(500_000)
-                    + (_hash48(F.col("source"), "mixw#") % F.lit(4)) * F.lit(750_000)
-                ).cast("long"),
+                F.col("w_ppm"), _mixture_w_ppm(base_ppm, step_ppm, n_weights)
             ).alias("w_ppm"),
             "n_total",
             F.coalesce(F.col("n_emitted"), F.lit(0)).alias("n_emitted"),

@@ -248,10 +248,8 @@ def _stem_terms(node: Node, analyzer) -> Node | None:
     """Map each Term leaf through the analyzer's stemmer; a term that stems
     to "" drops (collapsing emptied boolean nodes exactly like
     prune_stopwords — the analyzer's drop-empties rule on the query side)."""
-    from miru_spark.analyzers import stem_s_one
-
     if isinstance(node, Term):
-        s = stem_s_one(node.term)
+        s = analyzer.stem_one(node.term)
         return Term(s) if s else None
     if isinstance(node, (Prefix, Field, Range, All)):
         return node
