@@ -125,6 +125,29 @@ def cmd_sync(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_pipeline(args) -> None:
+    """Run one training-data pipeline operator (pipeline/registry.py) over a
+    corpus directory holding `documents.parquet` / `embeddings.parquet`,
+    writing the result as parquet (or printing it with --show). This is the
+    spark-submit entry for the dedup/similarity/text family — the same
+    (spark, sf_dir) callables the correctness gate runs."""
+    from miru_spark.pipeline.registry import pipeline_ops
+
+    ops = pipeline_ops()
+    if args.op not in ops:
+        raise SystemExit(
+            f"unknown op {args.op!r}; available: {', '.join(sorted(ops))}"
+        )
+    df = ops[args.op](_spark(args), args.corpus)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        # count from the written files, not the plan (no recompute)
+        n = _spark(args).read.parquet(args.out).count()
+        print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
+    else:
+        df.show(args.show_rows, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="miru_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -172,6 +195,14 @@ def main(argv: list[str] | None = None) -> None:
     y.add_argument("--refresh", action="store_true", help="merge the replica after sync")
     y.add_argument("--local-cores", type=int, default=0)
     y.set_defaults(fn=cmd_sync)
+
+    p = sub.add_parser("pipeline", help="run a training-data pipeline operator")
+    p.add_argument("--op", required=True, help="operator name (pipeline/registry.py)")
+    p.add_argument("--corpus", required=True, help="dir with documents/embeddings parquet")
+    p.add_argument("--out", default="", help="output parquet dir (omit to --show)")
+    p.add_argument("--show-rows", type=int, default=20)
+    p.add_argument("--local-cores", type=int, default=0)
+    p.set_defaults(fn=cmd_pipeline)
 
     args = ap.parse_args(argv)
     if args.cmd == "build" and not args.corpus and not args.synthetic_rows:

@@ -74,3 +74,41 @@ def test_cli_sync(cli_index, tmp_path, capsys):
     main(["search", "--index-dir", dst, "--query", "def", "--k", "5"])
     dst_res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [r["doc_id"] for r in src_res] == [r["doc_id"] for r in dst_res]
+
+
+def test_cli_pipeline_writes_parquet(spark, tmp_path, capsys):
+    """`pipeline --op ... --corpus ... --out ...` runs a registry operator
+    and writes the result; rows in the JSON line match the parquet."""
+    out = str(tmp_path / "dedup_out")
+    main([
+        "pipeline", "--op", "dedup_exact",
+        "--corpus", "/root/testdata/sf0.001", "--out", out,
+    ])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["op"] == "dedup_exact"
+    assert line["rows"] == spark.read.parquet(out).count() > 0
+
+
+def test_cli_pipeline_unknown_op():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="unknown op"):
+        main(["pipeline", "--op", "nope", "--corpus", "/tmp", "--out", "/tmp/x"])
+
+
+def test_registry_signatures():
+    """Every registry entry is a (spark, sf_dir) callable — the contract the
+    CLI, the sweep tool, and the gate all rely on."""
+    import inspect
+
+    from miru_spark.pipeline.registry import pipeline_ops
+
+    ops = pipeline_ops()
+    assert len(ops) >= 30
+    for name, fn in ops.items():
+        req = [
+            p.name
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+        ]
+        assert req == ["spark", "sf_dir"], (name, req)

@@ -88,26 +88,9 @@ DEFAULT_OPS = [
 
 
 def resolve_ops(names: list[str]):
-    from miru_spark.pipeline import dedup, text
+    from miru_spark.pipeline.registry import pipeline_ops
 
-    registry = {
-        "dedup_exact": dedup.dedup_exact,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "dedup_survivors": dedup.dedup_survivors,
-        "decontaminate": dedup.decontaminate,
-        "training_shards": text.training_shards,
-        "lang_id": text.lang_id,
-        "token_counts": text.token_counts,
-        "quality_scores": text.quality_scores,
-        "stratified_split": text.stratified_split,
-        "ngram_repetition": text.ngram_repetition,
-        "span_dedup_stats": dedup.span_dedup_stats,
-        "pack_sequences": text.pack_sequences,
-        "mixture_resample": text.mixture_resample,
-    }
+    registry = pipeline_ops()
     return [(n, registry[n]) for n in names]
 
 
