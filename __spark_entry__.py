@@ -115,23 +115,94 @@ def _bm25_batch_sql() -> str:
     )
 
 
+def _ast_terms(node, positives_only: bool) -> set:
+    """Independent term collector (does not reuse parser.all_terms /
+    positive_terms — the oracle must not trust the machinery under test).
+    positives_only replicates miru's termCollector: nothing under a NOT's
+    negative side scores (MiruAggregateUtil.java:1149,1204-1220)."""
+    from miru_spark.query import parser as qp
+
+    if isinstance(node, qp.Term):
+        return {node.term}
+    if isinstance(node, qp.All):
+        return set()
+    if isinstance(node, (qp.And, qp.Or, qp.Xor)):
+        out: set = set()
+        for c in node.children:
+            out |= _ast_terms(c, positives_only)
+        return out
+    if isinstance(node, qp.Not):
+        out = _ast_terms(node.positive, positives_only)
+        if not positives_only:
+            out |= _ast_terms(node.negative, positives_only)
+        return out
+    raise ValueError(f"oracle cannot express {type(node).__name__}")
+
+
+def _ast_bool_sql(node) -> str:
+    """The RAW boolean AST as a SQL expression over per-doc m_<term> flags
+    — evaluated by DuckDB directly, with no CNF conversion anywhere in the
+    oracle path (the engine's masks mode converts via parser.cnf_clauses;
+    a conversion bug therefore flips this gate instead of hiding in both
+    engines)."""
+    from miru_spark.query import parser as qp
+
+    if isinstance(node, qp.Term):
+        return f"m_{node.term}"
+    if isinstance(node, qp.All):
+        return "TRUE"
+    if isinstance(node, qp.And):
+        return "(" + " AND ".join(_ast_bool_sql(c) for c in node.children) + ")"
+    if isinstance(node, qp.Or):
+        return "(" + " OR ".join(_ast_bool_sql(c) for c in node.children) + ")"
+    if isinstance(node, qp.Xor):
+        ones = " + ".join(
+            f"CASE WHEN {_ast_bool_sql(c)} THEN 1 ELSE 0 END" for c in node.children
+        )
+        return f"(({ones}) % 2 = 1)"
+    if isinstance(node, qp.Not):
+        return (
+            f"({_ast_bool_sql(node.positive)}"
+            f" AND NOT ({_ast_bool_sql(node.negative)}))"
+        )
+    raise ValueError(f"oracle cannot express {type(node).__name__}")
+
+
+def _ast_eval_empty(node) -> bool:
+    """The AST evaluated at the all-false (no term matched) assignment —
+    whether a doc with zero needed-term hits matches. Independent of the
+    engine's matches-empty derivation for the same reason as above."""
+    from miru_spark.query import parser as qp
+
+    if isinstance(node, qp.Term):
+        return False
+    if isinstance(node, qp.All):
+        return True
+    if isinstance(node, qp.And):
+        return all(_ast_eval_empty(c) for c in node.children)
+    if isinstance(node, qp.Or):
+        return any(_ast_eval_empty(c) for c in node.children)
+    if isinstance(node, qp.Xor):
+        return sum(_ast_eval_empty(c) for c in node.children) % 2 == 1
+    if isinstance(node, qp.Not):
+        return _ast_eval_empty(node.positive) and not _ast_eval_empty(node.negative)
+    raise ValueError(f"oracle cannot express {type(node).__name__}")
+
+
 def _bm25_cnf_sql(query: str, k: int = 10) -> str:
-    """BM25 oracle for ONE boolean term query, generated from the same CNF
-    the engine's masks mode evaluates (parser.cnf_clauses) but computed
-    independently: DuckDB tokenizes, builds per-doc matched flags
-    (bool_or per needed term), applies the CNF as SQL booleans, scores only
-    positive-term contributions, and — when the CNF holds at the empty
-    matched set — unions every doc with NO needed-term hit at score 0.0
-    (the engine's doc_meta termless branch)."""
+    """BM25 oracle for ONE boolean term query, independent of the engine's
+    CNF machinery: DuckDB tokenizes, builds per-doc matched flags (bool_or
+    per needed term), applies the RAW AST as SQL booleans (_ast_bool_sql —
+    no cnf_clauses anywhere), scores only positive-term contributions, and
+    — when the AST holds at the empty matched set (_ast_eval_empty) —
+    unions every doc with NO needed-term hit at score 0.0 (the engine's
+    doc_meta termless branch)."""
     from miru_spark.query import parser as qp
 
     ast = qp.parse_query(query)
-    clauses = qp.cnf_clauses(ast, {})
-    if clauses is None:
-        raise ValueError(f"{query!r} is not CNF-expressible")
-    needed = sorted(qp.all_terms(ast))
-    scoring = sorted(qp.positive_terms(ast))
-    matches_empty = all(neg for _, neg in clauses)
+    needed = sorted(_ast_terms(ast, positives_only=False))
+    scoring = sorted(_ast_terms(ast, positives_only=True))
+    matches_empty = _ast_eval_empty(ast)
 
     in_needed = ", ".join(f"'{t}'" for t in needed)
     m_cols = ",\n         ".join(
@@ -148,13 +219,7 @@ def _bm25_cnf_sql(query: str, k: int = 10) -> str:
     else:
         s_expr = "sum(0.0)"
 
-    def clause_sql(pos, neg):
-        parts = [f"m_{t}" for t in sorted(pos)]
-        if neg:
-            parts.append("NOT (" + " AND ".join(f"m_{t}" for t in sorted(neg)) + ")")
-        return "(" + " OR ".join(parts) + ")" if parts else "FALSE"
-
-    cnf_sql = " AND ".join(clause_sql(p, n) for p, n in clauses) or "TRUE"
+    cnf_sql = _ast_bool_sql(ast)
     empties = (
         "\nUNION ALL\nSELECT d.doc_id, 0.0 AS s FROM documents d "
         "WHERE d.doc_id NOT IN (SELECT doc_id FROM perdoc)"
@@ -1313,13 +1378,16 @@ SELECT lang,
        count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        # span width/stride interpolated from the operator's own constants
+        # (dedup.SPAN_W/SPAN_STRIDE) so changing them cannot silently
+        # desynchronize the oracle
         "span_dedup_stats": f"""
 WITH tokarr AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 spans AS (
   SELECT doc_id, lang,
-         unnest(list_transform(range(0, len(toks) - 15, 8),
-                               o -> md5(array_to_string(toks[o+1:o+16], ' ')))) AS h
-  FROM tokarr WHERE len(toks) >= 16),
+         unnest(list_transform(range(0, len(toks) - {dedup.SPAN_W - 1}, {dedup.SPAN_STRIDE}),
+                               o -> md5(array_to_string(toks[o+1:o+{dedup.SPAN_W}], ' ')))) AS h
+  FROM tokarr WHERE len(toks) >= {dedup.SPAN_W}),
 counted AS (SELECT doc_id, lang, count(*) OVER (PARTITION BY h) AS c FROM spans),
 perdoc AS (SELECT doc_id, any_value(lang) AS lang, count(*) AS n_spans,
                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup

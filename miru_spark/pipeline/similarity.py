@@ -275,6 +275,13 @@ def build_bucketed_embeddings(spark: SparkSession, sf_dir: str, n_planes: int = 
             .withColumn("bucket", _lsh_bucket_col(n_planes))
             .withColumn("nb", _norm(F.col("embedding")))
         )
+        # cluster rows by bucket before the partitioned write: without this
+        # every write task emits one file into every bucket directory
+        # (tasks x 2^n_planes tiny files — the small-files anti-pattern that
+        # defeats the PartitionFilters pruning this layout exists for);
+        # with it each bucket directory holds O(1) files at any input size
+        parts = max(spark.sparkContext.defaultParallelism, 2**n_planes // 8)
+        emb = emb.repartition(parts, F.col("bucket"))
         emb.write.partitionBy("bucket").mode("overwrite").parquet(path)
     _BUCKETED_EMB_CACHE[key] = path
     return path

@@ -213,6 +213,19 @@ def _docts(index_dir: str) -> np.ndarray:
     return arr
 
 
+def _all_doc_ids(index_dir: str) -> np.ndarray:
+    """Sorted full index mask (every doc_id) — ONE int64 column read, not
+    the 5-column _docmeta table (at 100M docs the string columns are ~10x
+    the bytes and would be pinned in cache just to extract ids)."""
+    key = (index_dir, "all_ids", _index_generation(index_dir))
+    arr = _DOCLEN_CACHE.get(key)
+    if arr is None:
+        t = _dataset(index_dir, "doc_meta").to_table(columns=["doc_id"])
+        arr = np.sort(np.asarray(t.column("doc_id"), dtype=np.int64))
+        _DOCLEN_CACHE[key] = arr
+    return arr
+
+
 def _docmeta(index_dir: str) -> pd.DataFrame:
     """Cached gather source (doc_id, repo, path, commit, lang) — the serving
     analog of miru's in-memory activity index; the distributed path joins the
@@ -230,23 +243,28 @@ def _docmeta(index_dir: str) -> pd.DataFrame:
 
 
 def _docmeta_for(index_dir: str, ids: np.ndarray) -> pd.DataFrame:
-    """Gather source for a KNOWN top-k id set: the cached full table when
-    one exists, else a row-group-pruned isin read of just those ids — at
-    large N the dense form is a multi-GB driver materialization to gather
-    k<=100 rows (the 100M-doc run's dominant serving cost)."""
+    """Gather source for a KNOWN id set: the cached full table when one
+    exists, else row-group-pruned isin reads of just those ids — NEVER a
+    dense materialization (at 100M docs that is a multi-GB table; this
+    runs inside executor Python workers via _gather_display_fields, where
+    a dense fallback would pin that table once per worker). Large id sets
+    are read in chunks so the isin value list stays bounded."""
     key = (index_dir, _index_generation(index_dir))
-    if key in _DOCMETA_CACHE or ids.size > 1000:
+    if key in _DOCMETA_CACHE:
         return _docmeta(index_dir)
-    return (
-        _dataset(index_dir, "doc_meta")
-        .to_table(
-            columns=["doc_id", "repo", "path", "commit", "lang"],
-            filter=pads.field("doc_id").isin(
-                np.unique(np.asarray(ids, dtype=np.int64)).tolist()
-            ),
-        )
-        .to_pandas()
-    )
+    cols = ["doc_id", "repo", "path", "commit", "lang"]
+    ds = _dataset(index_dir, "doc_meta")
+    uids = np.unique(np.asarray(ids, dtype=np.int64))
+    chunk = 100_000
+    parts = [
+        ds.to_table(
+            columns=cols, filter=pads.field("doc_id").isin(uids[i : i + chunk].tolist())
+        ).to_pandas()
+        for i in range(0, uids.size, chunk)
+    ]
+    if not parts:
+        return ds.to_table(columns=cols, filter=pads.field("doc_id").isin([])).to_pandas()
+    return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 
 def _gather_display_fields(top: DataFrame, index_dir: str) -> DataFrame:
@@ -393,7 +411,7 @@ def _eval_ast(node, postings, expansions, index_dir=None) -> np.ndarray:
     if isinstance(node, qp.All):
         # full index mask (buildIndexMask, MiruBitmapsRoaring.java:457-505);
         # removal/time masks compose on top in search_local as usual
-        return np.sort(np.asarray(_docmeta(index_dir)["doc_id"].values, dtype=np.int64))
+        return _all_doc_ids(index_dir)
     if isinstance(node, qp.Field):
         # field filter clause → its roaring bitmap, decoded as a doc set
         return load_filter_set(index_dir, node.field, [node.value])
