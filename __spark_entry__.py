@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": text.ngram_repetition,  # within-doc dup-shingle quality signal
         "pack_sequences": text.pack_sequences,  # concat-and-chunk packing audit
         "mixture_resample": text.mixture_resample,  # deterministic mixture up/down-sampling
+        "epoch_build": text.epoch_build,  # composition: dedup -> resample -> pack
         # per-source quota capping (corpus balancing) — deterministic hash sample
         "domain_quota_sample": text.domain_quota_sample,
         "doc_fingerprints": text.doc_fingerprints,
@@ -1366,6 +1367,40 @@ SELECT source, any_value(w_ppm)::BIGINT AS w_ppm, count(*)::BIGINT AS n_total,
        sum(doc_id * reps)::BIGINT AS emitted_id_sum,
        sum(n_chars * reps)::BIGINT AS emitted_chars
 FROM r GROUP BY source ORDER BY source
+""",
+        # composition oracle: survivors (min doc_id per identical text) ->
+        # the mixture arithmetic -> emitted copies as a flattened stream
+        # (stream_id = doc_id*4 + rep) -> the packing prefix sum
+        "epoch_build": f"""
+WITH t AS (SELECT doc_id, lang, source, md5(text) AS digest,
+                  len({_TOKS})::BIGINT AS n FROM documents),
+k AS (SELECT doc_id, lang, source, n FROM
+        (SELECT t.*, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+         FROM t) WHERE rn = 1),
+wgt AS (SELECT doc_id, lang, n,
+        500000 + (('0x' || substr(md5('mixw#' || source), 1, 12))::BIGINT % 4)
+                 * 750000 AS w_ppm,
+        ('0x' || substr(md5('mixf#' || doc_id::VARCHAR), 1, 12))::BIGINT
+          % 1000000 AS f
+        FROM k),
+r AS (SELECT lang, doc_id, n,
+             (w_ppm // 1000000)
+               + CASE WHEN f < (w_ppm % 1000000) THEN 1 ELSE 0 END AS reps
+      FROM wgt),
+e AS (SELECT lang, doc_id * 4 + unnest(range(reps)) AS stream_id, n
+      FROM r WHERE reps > 0),
+s AS (SELECT lang, stream_id, n,
+      coalesce(sum(n) OVER (PARTITION BY lang ORDER BY stream_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM e)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+       ((sum(n) + 2047) // 2048)::BIGINT AS n_seqs,
+       sum(CASE WHEN n > 0 AND (cum // 2048) <> ((cum + n - 1) // 2048)
+                THEN 1 ELSE 0 END)::BIGINT AS n_straddle_docs,
+       sum(CASE WHEN n > 0 THEN ((cum + n - 1) // 2048) - (cum // 2048)
+                ELSE 0 END)::BIGINT AS n_crossings,
+       (((sum(n) + 2047) // 2048) * 2048 - sum(n))::BIGINT AS pad_tokens
+FROM s GROUP BY lang ORDER BY lang
 """,
         "stratified_split": f"""
 WITH b AS (

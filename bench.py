@@ -123,8 +123,9 @@ def main() -> None:
         # stopworded entries — the cost is the build, not the serve)
         "ft_bm25_stemmed_en",
         # concat-and-chunk packing audit (two-level prefix sum) and
-        # deterministic mixture resampling (map-only emit + audit)
-        "pack_sequences", "mixture_resample",
+        # deterministic mixture resampling (map-only emit + audit), plus
+        # their composition with exact dedup (the epoch capstone)
+        "pack_sequences", "mixture_resample", "epoch_build",
     ]
     qmap = entry.queries()
     for name in headline:

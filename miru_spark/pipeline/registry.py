@@ -53,6 +53,7 @@ def pipeline_ops() -> dict[str, Op]:
         "domain_quota_sample": text.domain_quota_sample,
         "pack_sequences": text.pack_sequences,
         "mixture_resample": text.mixture_resample,
+        "epoch_build": text.epoch_build,
         # (multimodal ops take a media relation, not an sf_dir — they are
         # driven via pipeline.multimodal.synthesize_media / extract_features
         # directly and are out of this (spark, sf_dir) registry on purpose)

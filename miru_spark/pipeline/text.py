@@ -451,20 +451,30 @@ def pack_sequences(
     floor((end-1)/L), crossings = floor((end-1)/L) - floor(start/L), and
     pad_tokens is the tail waste of the final partial sequence.
     """
-    L = F.lit(seq_len)
-    bucket_width = 4096
     counted = scoped_cache(
         _docs(spark, sf_dir).select(
-            "doc_id",
+            F.col("doc_id").alias("stream_id"),
             "lang",
             F.size(tokens_col("text")).cast("long").alias("n_tokens"),
-            F.floor(F.col("doc_id") / F.lit(bucket_width)).alias("bkt"),
         ),
         "pack_sequences",
     )
+    return pack_stats(counted, seq_len)
+
+
+def pack_stats(counted: DataFrame, seq_len: int) -> DataFrame:
+    """The packing core over ANY (stream_id, lang, n_tokens) relation —
+    stream_id is the monotone concatenation order within each lang (plain
+    doc_id for pack_sequences; (doc_id, rep) flattened for epoch_build).
+    Same two-level prefix sum and output schema as pack_sequences."""
+    L = F.lit(seq_len)
+    bucket_width = 4096
+    counted = counted.withColumn(
+        "bkt", F.floor(F.col("stream_id") / F.lit(bucket_width))
+    )
     wb = (
         Window.partitionBy("lang", "bkt")
-        .orderBy("doc_id")
+        .orderBy("stream_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_cum = F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
@@ -592,3 +602,38 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def epoch_build(spark: SparkSession, sf_dir: str, seq_len: int = 2048) -> DataFrame:
+    """The capstone COMPOSITION gate: exact-dedup survivors → mixture
+    resampling → sequence packing, in one plan — the minimal end-to-end
+    epoch construction a training pipeline runs nightly, proving the three
+    operators compose (each is individually gated; this gate would flip if
+    any interface drifted).
+
+    Stream order: emitted copies concatenate per lang by (doc_id, rep),
+    flattened to a monotone stream_id = doc_id*4 + rep (resample_emit's
+    default weights cap reps at floor(2.75)+1 = 3 < 4). Tokens are counted
+    ONCE per surviving doc, before the copy explode. All three stages keep
+    their individual scale shapes: dedup shuffles digests only, resampling
+    is map-only, packing is the two-level prefix sum."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.col("text")).alias("digest"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "digest")
+    )
+    emitted = resample_emit(survivors)
+    counted = emitted.select(
+        (F.col("doc_id") * F.lit(4) + F.col("rep")).alias("stream_id"),
+        "lang",
+        "n_tokens",
+    )
+    return pack_stats(counted, seq_len)

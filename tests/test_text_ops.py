@@ -231,3 +231,27 @@ def test_pack_sequences_random_vs_python_reference(spark, tmp_path):
                 continue
             # boundaries inside docs + boundaries at doc edges = n_seqs - 1
             assert 0 <= crossings <= max(n_seqs - 1, 0)
+
+
+def test_epoch_build_drops_duplicates_before_resampling(spark, tmp_path):
+    """An exact-duplicate doc must not contribute copies: epoch_build on
+    (orig, dup, unique) equals epoch_build on (orig, unique) alone —
+    regardless of the dup's source weight."""
+    from miru_spark.pipeline.text import epoch_build
+
+    text_a = " ".join(f"a{i}" for i in range(12))
+    text_b = " ".join(f"b{i}" for i in range(9))
+    with_dup = [
+        (0, text_a, "en", "s0", 1),
+        (7, text_a, "en", "s1", 1),  # exact dup, different source/weight
+        (9, text_b, "en", "s2", 1),
+    ]
+    without = [with_dup[0], with_dup[2]]
+    outs = []
+    for rows, sub in ((with_dup, "a"), (without, "b")):
+        p = str(tmp_path / sub)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+        outs.append([tuple(r) for r in epoch_build(spark, p, seq_len=10).collect()])
+    assert outs[0] == outs[1] and outs[0][0][1] > 0  # n_docs (emitted copies) > 0
