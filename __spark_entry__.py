@@ -1349,11 +1349,11 @@ FROM s GROUP BY lang ORDER BY lang
         # the oracle computes sum(reps) arithmetically; the Spark side
         # aggregates the REAL posexplode'd emit relation — equality proves
         # the emitted copies are exactly the arithmetic's copies
-        "mixture_resample": """
+        "mixture_resample": f"""
 WITH w AS (
   SELECT source, doc_id, n_chars,
-         500000 + (('0x' || substr(md5('mixw#' || source), 1, 12))::BIGINT % 4)
-                  * 750000 AS w_ppm,
+         {text.MIX_BASE_PPM} + (('0x' || substr(md5('mixw#' || source), 1, 12))::BIGINT % {text.MIX_N_WEIGHTS})
+                  * {text.MIX_STEP_PPM} AS w_ppm,
          ('0x' || substr(md5('mixf#' || doc_id::VARCHAR), 1, 12))::BIGINT
            % 1000000 AS f
   FROM documents),
@@ -1378,8 +1378,8 @@ k AS (SELECT doc_id, lang, source, n FROM
         (SELECT t.*, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
          FROM t) WHERE rn = 1),
 wgt AS (SELECT doc_id, lang, n,
-        500000 + (('0x' || substr(md5('mixw#' || source), 1, 12))::BIGINT % 4)
-                 * 750000 AS w_ppm,
+        {text.MIX_BASE_PPM} + (('0x' || substr(md5('mixw#' || source), 1, 12))::BIGINT % {text.MIX_N_WEIGHTS})
+                 * {text.MIX_STEP_PPM} AS w_ppm,
         ('0x' || substr(md5('mixf#' || doc_id::VARCHAR), 1, 12))::BIGINT
           % 1000000 AS f
         FROM k),
@@ -1387,7 +1387,7 @@ r AS (SELECT lang, doc_id, n,
              (w_ppm // 1000000)
                + CASE WHEN f < (w_ppm % 1000000) THEN 1 ELSE 0 END AS reps
       FROM wgt),
-e AS (SELECT lang, doc_id * 4 + unnest(range(reps)) AS stream_id, n
+e AS (SELECT lang, doc_id * {text.EPOCH_STREAM_STRIDE} + unnest(range(reps)) AS stream_id, n
       FROM r WHERE reps > 0),
 s AS (SELECT lang, stream_id, n,
       coalesce(sum(n) OVER (PARTITION BY lang ORDER BY stream_id

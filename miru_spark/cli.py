@@ -138,11 +138,12 @@ def cmd_pipeline(args) -> None:
         raise SystemExit(
             f"unknown op {args.op!r}; available: {', '.join(sorted(ops))}"
         )
-    df = ops[args.op](_spark(args), args.corpus)
+    spark = _spark(args)
+    df = ops[args.op](spark, args.corpus)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         # count from the written files, not the plan (no recompute)
-        n = _spark(args).read.parquet(args.out).count()
+        n = spark.read.parquet(args.out).count()
         print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
     else:
         df.show(args.show_rows, truncate=False)

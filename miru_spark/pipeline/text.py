@@ -516,6 +516,18 @@ def pack_stats(counted: DataFrame, seq_len: int) -> DataFrame:
     )
 
 
+# default mixture weights: base + (hash(source) % n) * step, in ppm —
+# 0.5x / 1.25x / 2.0x / 2.75x. One set of constants shared by
+# resample_emit's defaults, mixture_resample, epoch_build, and the gate
+# oracles (which interpolate them) so no site can drift.
+MIX_BASE_PPM, MIX_STEP_PPM, MIX_N_WEIGHTS = 500_000, 750_000, 4
+# max copies any doc can emit under those weights: floor(max w) + 1
+MIX_MAX_REPS = (MIX_BASE_PPM + (MIX_N_WEIGHTS - 1) * MIX_STEP_PPM) // 1_000_000 + 1
+# per-doc stream-id slots in epoch_build (stream_id = doc_id*STRIDE + rep);
+# must hold every rep index or stream ids collide across docs
+EPOCH_STREAM_STRIDE = 4
+
+
 def _mixture_w_ppm(base_ppm: int, step_ppm: int, n_weights: int):
     """The self-contained per-source weight both the emit and the audit's
     empty-source fallback derive — one expression so they can never drift."""
@@ -527,9 +539,9 @@ def _mixture_w_ppm(base_ppm: int, step_ppm: int, n_weights: int):
 
 def resample_emit(
     docs: DataFrame,
-    base_ppm: int = 500_000,
-    step_ppm: int = 750_000,
-    n_weights: int = 4,
+    base_ppm: int = MIX_BASE_PPM,
+    step_ppm: int = MIX_STEP_PPM,
+    n_weights: int = MIX_N_WEIGHTS,
 ) -> DataFrame:
     """Deterministic fractional mixture resampling over any
     (doc_id, source, ...) relation — the epoch-construction op that turns a
@@ -574,7 +586,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHICH copies were emitted (id-sum and chars-sum over multiplicities) —
     exact on both engines. ``n_total`` comes from the pre-explode relation
     so 0-rep (downsampled) docs still count as input."""
-    base_ppm, step_ppm, n_weights = 500_000, 750_000, 4
+    base_ppm, step_ppm, n_weights = MIX_BASE_PPM, MIX_STEP_PPM, MIX_N_WEIGHTS
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
     totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
     audit = (
@@ -612,11 +624,18 @@ def epoch_build(spark: SparkSession, sf_dir: str, seq_len: int = 2048) -> DataFr
     any interface drifted).
 
     Stream order: emitted copies concatenate per lang by (doc_id, rep),
-    flattened to a monotone stream_id = doc_id*4 + rep (resample_emit's
-    default weights cap reps at floor(2.75)+1 = 3 < 4). Tokens are counted
-    ONCE per surviving doc, before the copy explode. All three stages keep
-    their individual scale shapes: dedup shuffles digests only, resampling
-    is map-only, packing is the two-level prefix sum."""
+    flattened to a monotone stream_id = doc_id*EPOCH_STREAM_STRIDE + rep —
+    collision-free because the default weights cap reps at MIX_MAX_REPS,
+    guarded below (and the oracle interpolates the same stride). Tokens are
+    counted ONCE per surviving doc, before the copy explode. All three
+    stages keep their individual scale shapes: dedup shuffles digests only,
+    resampling is map-only, packing is the two-level prefix sum."""
+    if MIX_MAX_REPS > EPOCH_STREAM_STRIDE:
+        raise ValueError(
+            f"mixture weights allow {MIX_MAX_REPS} copies per doc but the "
+            f"epoch stream stride is {EPOCH_STREAM_STRIDE} — stream ids "
+            "would collide across docs"
+        )
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -631,9 +650,17 @@ def epoch_build(spark: SparkSession, sf_dir: str, seq_len: int = 2048) -> DataFr
         .drop("_rn", "digest")
     )
     emitted = resample_emit(survivors)
-    counted = emitted.select(
-        (F.col("doc_id") * F.lit(4) + F.col("rep")).alias("stream_id"),
-        "lang",
-        "n_tokens",
+    # cached: pack_stats references its input twice (bucket totals + the
+    # per-row join), which would otherwise re-run the digest window and the
+    # copy explode per branch
+    counted = scoped_cache(
+        emitted.select(
+            (F.col("doc_id") * F.lit(EPOCH_STREAM_STRIDE) + F.col("rep")).alias(
+                "stream_id"
+            ),
+            "lang",
+            "n_tokens",
+        ),
+        "epoch_build",
     )
     return pack_stats(counted, seq_len)

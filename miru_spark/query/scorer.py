@@ -263,7 +263,11 @@ def _docmeta_for(index_dir: str, ids: np.ndarray) -> pd.DataFrame:
         for i in range(0, uids.size, chunk)
     ]
     if not parts:
-        return ds.to_table(columns=cols, filter=pads.field("doc_id").isin([])).to_pandas()
+        # typed empty frame, no scan: even an isin([]) read walks row-group
+        # stats across every doc_meta file
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64" if c == "doc_id" else "object") for c in cols}
+        )
     return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
 

@@ -83,6 +83,7 @@ def main():
             ok = len(srows) > 0
             if not ok:
                 failures.append(name)
+                print(f"FAIL  {name}: 0 rows (rows-only entry returned nothing)")
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             results[name] = {
                 "rows_match": ok, "schema_match": None,
