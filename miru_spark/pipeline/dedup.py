@@ -30,11 +30,11 @@ N_BANDS = 4  # rows-per-band = 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tiny bench files arrive as ONE parquet row group = one task; spread the
-    # scan so the JVM tokenize work parallelizes (no-op cost at real scale,
-    # where the source table has thousands of splits)
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # split-gated spread: repartitions ONLY single-row-group bench files;
+    # multi-split production inputs get the bare scan (no pre-map Exchange)
+    from miru_spark.sources import read_spread
+
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _h(col: F.Column) -> F.Column:

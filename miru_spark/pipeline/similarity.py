@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # spread single-row-group bench files across cores (no-op at real scale)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # split-gated spread: repartitions ONLY single-row-group bench files;
+    # multi-split production inputs get the bare scan (no pre-map Exchange)
+    from miru_spark.sources import read_spread
+
+    return read_spread(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -14,6 +14,26 @@ from pyspark.sql import DataFrame, SparkSession
 from miru_spark.corpus import CORPUS_SCHEMA, generate_corpus, verify_sha256  # noqa: F401
 
 
+def read_spread(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read whose parallelism comes from INPUT SPLITS, not a shuffle.
+
+    Tiny bench files arrive as one parquet row group = one task, which would
+    serialize the JVM tokenize work; production tables have thousands of
+    splits and must NOT pay a round-robin exchange of the content column
+    before otherwise map-only operators (the r4 verdict's one plan defect).
+
+    So: repartition ONLY when the scan has fewer splits than the cluster has
+    slots. ``df.rdd.getNumPartitions()`` converts the plan without running a
+    job; on a multi-split input the returned plan is the bare scan (zero
+    Exchange — pinned by tests/test_read_spread.py).
+    """
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Load the corpus table. ``fmt='iceberg'`` needs the Iceberg runtime on
     the cluster classpath (spark-submit --packages org.apache.iceberg:...);
