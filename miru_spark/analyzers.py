@@ -61,6 +61,15 @@ from miru_spark.stopwords_langs import (
 # to "" and is DROPPED (the tokenizer's drop-empties rule). All four
 # implementations below apply the identical rules — parity is pinned by
 # tests/test_stemmer.py against a shared vector list + hypothesis strings.
+#
+# Rule-ordering interpretation (deliberate, pinned in tests): the -es
+# exceptions block only rule 2, NOT the later bare -s rule — a word like
+# "goes"/"does" falls through the 'oes' exception to rule 3 and stems to
+# "goe"/"doe". Harman's paper presents the rules as a first-match table and
+# is ambiguous on whether an exception is terminal; we pin the fall-through
+# reading because it keeps each rule a self-contained WHEN clause in all
+# four implementations (Python / JVM Column / numpy vocab / DuckDB CASE).
+# Vectors for goes/does are in tests/test_stemmer.py.
 
 
 def stem_s_one(w: str) -> str:
@@ -98,6 +107,9 @@ STEM_S_SQL_CASE = (
 )
 
 
+VALID_STEMS = ("", "s")  # extended by ("porter",) when a new kind lands
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """A resolved analyzer: the frozen tokenizer + a stopword set + an
@@ -110,12 +122,23 @@ class Analyzer:
     stopwords: frozenset = field(default_factory=frozenset)
     stem: str = ""  # "" (none) | "s" (Harman S-stemmer)
 
+    def __post_init__(self):
+        # validate HERE, not only in find_analyzer: a directly-constructed
+        # Analyzer(locale, True, stem='porter') must not silently S-stem and
+        # round-trip the bogus value into analyzer.json.
+        if self.stem not in VALID_STEMS:
+            raise ValueError(
+                f"unknown stemmer {self.stem!r} (supported: {VALID_STEMS})"
+            )
+
     def stem_one(self, w: str) -> str:
         """Per-word stem under THIS analyzer's configured stemmer — the
         query side (parser._stem_terms) dispatches through here so a future
         stemmer kind can never leave parse-time and build-time rules
         disagreeing. No-stem analyzers return the word unchanged."""
-        return stem_s_one(w) if self.stem else w
+        if self.stem == "s":
+            return stem_s_one(w)
+        return w
 
     def tokens_col(self, content: Column | str) -> Column:
         c = base.tokens_col(content)
@@ -215,8 +238,8 @@ def find_analyzer(locale: str | None, use_stopwords: bool, stem: str = "") -> An
     ``stem="s"`` additionally enables the S-stemmer (English-only light
     stemming; the reference's per-language Snowball stemmers are a
     documented non-goal, see module docstring)."""
-    if stem not in ("", "s"):
-        raise ValueError(f"unknown stemmer {stem!r} (supported: 's')")
+    if stem not in VALID_STEMS:
+        raise ValueError(f"unknown stemmer {stem!r} (supported: {VALID_STEMS})")
     if not use_stopwords:
         return Analyzer(locale or "", False, stem=stem)
     code = locale or ""

@@ -476,20 +476,31 @@ def ivf_train(
             nxt[int(r["cluster"])][int(r["pos"])] = float(r["c"])
         cents = nxt
 
-    sizes = (
+    # FINAL assignment must honor the same empty-cell contract as the
+    # iteration loop: an inner join against sizes would silently drop an
+    # emptied cluster's codebook rows, so collect the (bounded, k-row)
+    # size table and guard before emitting.
+    size_rows = (
         emb.select(_assign_col(cents).alias("cluster"))
         .groupBy("cluster")
         .agg(F.count("*").alias("n"))
+        .collect()
     )
+    got = {int(r["cluster"]) for r in size_rows}
+    if got != set(range(k)):
+        raise ValueError(
+            f"empty cluster(s) after final assignment {sorted(set(range(k)) - got)}"
+        )
+    n_by = {int(r["cluster"]): int(r["n"]) for r in size_rows}
     cent_df = spark.createDataFrame(
-        [(j, p, cents[j][p]) for j in range(k) for p in range(len(cents[j]))],
-        "cluster int, pos int, val double",
+        [
+            (j, n_by[j], p, cents[j][p])
+            for j in range(k)
+            for p in range(len(cents[j]))
+        ],
+        "cluster int, n long, pos int, val double",
     )
-    return (
-        cent_df.join(F.broadcast(sizes), "cluster")
-        .select("cluster", "n", "pos", "val")
-        .orderBy("cluster", "pos")
-    )
+    return cent_df.orderBy("cluster", "pos")
 
 
 def _lsh_bucket_col(n_planes: int = 8, dim: int = 64, col: Column | None = None) -> Column:

@@ -135,7 +135,17 @@ class _SparseCol:
         self._vals = vals[o]
 
     def __getitem__(self, idx):
-        return self._vals[np.searchsorted(self._ids, idx)]
+        # ids absent from the fetched universe must raise, not silently
+        # return a neighbor's value (searchsorted alone would): verify the
+        # hit vectorized, clamping the top-end insertion point first.
+        i = np.minimum(np.searchsorted(self._ids, idx), self._ids.size - 1)
+        if not np.all(self._ids[i] == idx):
+            missing = np.asarray(idx)[np.asarray(self._ids[i] != idx)]
+            raise KeyError(
+                f"{missing.size if missing.ndim else 1} id(s) absent from the "
+                f"sparse doc_meta fetch (e.g. {np.atleast_1d(missing)[:3].tolist()})"
+            )
+        return self._vals[i]
 
 
 def _sparse_col(index_dir: str, column: str, ids: np.ndarray) -> _SparseCol:

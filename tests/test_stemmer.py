@@ -40,6 +40,7 @@ VECTORS = {
     "es": "e",
     "trees": "tree",  # -ees blocks rule 2; rule 3 drops the s
     "goes": "goe",  # -oes blocks rule 2; rule 3 drops the s
+    "does": "doe",  # same fall-through (pinned: exceptions are NOT terminal)
     "aes": "ae",  # -aes blocks rule 2; rule 3 drops the s
     # rule 3: -s -> "" (unless -us / -ss)
     "sorts": "sort",
@@ -197,4 +198,12 @@ def test_config_roundtrip():
     c = anz.from_config({"locale": "en", "use_stopwords": True})
     assert c.stem == "" and c.stopwords
     with pytest.raises(ValueError, match="unknown stemmer"):
-        anz.find_analyzer("en", True, "porter")
+        anz.find_analyzer("en", True, "lovins")
+
+
+def test_direct_construction_validates_stem():
+    # find_analyzer is not the only gate: Analyzer() itself must reject an
+    # unknown stem kind instead of silently S-stemming and round-tripping
+    # the bogus value into analyzer.json (ADVICE r4).
+    with pytest.raises(ValueError, match="unknown stemmer"):
+        anz.Analyzer("en", True, stem="lovins")

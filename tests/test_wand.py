@@ -157,3 +157,24 @@ def test_sparse_serving_reads_match_dense(tiny_index):
         assert cold["doc_id"].tolist() == warm["doc_id"].tolist(), q
         assert np.allclose(cold["score"], warm["score"])
         assert cold["path"].tolist() == warm["path"].tolist(), q
+
+
+def test_sparse_col_rejects_absent_ids():
+    """_SparseCol must raise on ids outside the fetched universe (ADVICE r4:
+    bare searchsorted silently returned a neighbor's value, or IndexError at
+    the top end)."""
+    import numpy as np
+    import pytest
+
+    from miru_spark.query.scorer import _SparseCol
+
+    col = _SparseCol(np.array([3, 7, 20], dtype=np.int64),
+                     np.array([30, 70, 200], dtype=np.int64))
+    np.testing.assert_array_equal(col[np.array([7, 3, 20])], [70, 30, 200])
+    assert col[np.array([7])] == 70
+    with pytest.raises(KeyError):
+        col[np.array([4])]  # between members: old code returned 70
+    with pytest.raises(KeyError):
+        col[np.array([21])]  # past the top end: old code raised IndexError
+    with pytest.raises(KeyError):
+        col[np.array([3, 8, 20])]  # mixed present/absent
