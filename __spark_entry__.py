@@ -457,6 +457,83 @@ ORDER BY id_a, id_b
 """
 
 
+def _ann_recall_oracle_sql(
+    query_ids=tuple(range(16)), k: int = 10, planes=(4, 8, 12)
+) -> str:
+    """lsh_ann_recall oracle: exact top-k ground truth (brute-force cosine
+    per query), then per n_planes the SAME bucket/probe/re-rank SQL as the
+    lsh_ann_batch oracle, intersected against the truth. recall_ppm uses
+    BIGINT floor division (//) so there is no float in the value hash."""
+    qlist = ", ".join(str(int(x)) for x in query_ids)
+    nq = len(query_ids)
+    cos_eq = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    ctes = [
+        f"q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv "
+        f"FROM embeddings WHERE vec_id IN ({qlist}))",
+        f"""exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round({cos_eq}, 6) DESC, e.vec_id ASC) AS rnk
+    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+  WHERE rnk <= {k})""",
+    ]
+    blocks = []
+    for p in sorted(planes):
+        bucket = _lsh_bucket_expr_sql(p)
+        probe_union = "\nUNION ALL\n".join(
+            f"SELECT qid, qv, xor(qb, {1 << j}) AS p FROM qb{p}" for j in range(p)
+        )
+        cos_p = (
+            "list_dot_product(e.embedding::DOUBLE[], p.qv) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(p.qv, p.qv)))"
+        )
+        ctes.append(
+            f"enc{p} AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)"
+        )
+        ctes.append(
+            f"qb{p} AS (SELECT q.qid, q.qv, e.bucket AS qb "
+            f"FROM q JOIN enc{p} e ON e.vec_id = q.qid)"
+        )
+        ctes.append(
+            f"probes{p} AS (SELECT qid, qv, qb AS p FROM qb{p} UNION ALL {probe_union})"
+        )
+        ctes.append(
+            f"""cand{p} AS (
+  SELECT p.qid, e.vec_id, round({cos_p}, 6) AS cosine
+  FROM probes{p} p JOIN enc{p} e ON e.bucket = p.p AND e.vec_id <> p.qid)"""
+        )
+        ctes.append(
+            f"""ann{p} AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM cand{p})
+  WHERE rnk <= {k})"""
+        )
+        hits = (
+            f"(SELECT count(*) FROM ann{p} a "
+            f"JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id)"
+        )
+        blocks.append(
+            f"SELECT {p}::INT AS n_planes, {nq}::BIGINT AS n_queries, {k}::INT AS k,\n"
+            f"       (SELECT count(*) FROM cand{p})::BIGINT AS n_candidates,\n"
+            f"       {hits}::BIGINT AS n_hits,\n"
+            f"       (({hits} * 1000000) // ({k} * {nq}))::BIGINT AS recall_ppm"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(blocks)
+        + "\n) ORDER BY n_planes"
+    )
+
+
 def _media_oracle_sqls() -> tuple[str, str]:
     """(media_features_stats, media_frame_sample) oracles. The synthetic
     media table is data-independent (n=120, id-derived) and every modality
@@ -736,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup with the LSH bucket as the blocking key (multiprobe) —
         # the label-free form that holds at corpus scale
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        # recall@k of the LSH tier vs exact ground truth across n_planes —
+        # the recall/cost curve as a gate so bucket changes can't silently
+        # regress recall (floors pinned in tests/test_similarity.py)
+        "lsh_ann_recall": similarity.ann_recall,
         # multimodal: deterministic synthetic media in REAL standard formats
         # (PPM/WAV/Y4M, decoded pure-stdlib); oracles re-derive the id-based
         # generation in pure SQL
@@ -1488,6 +1569,7 @@ FROM flat GROUP BY lang ORDER BY lang
             query_ids=similarity.PARTITIONED_QUERY_IDS
         ),
         "embedding_neardup_lsh": _lsh_neardup_oracle_sql(),
+        "lsh_ann_recall": _ann_recall_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "ivf_train": _ivf_train_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],

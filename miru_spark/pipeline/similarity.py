@@ -561,3 +561,89 @@ def lsh_ann_topk(
     return _ranked_topk(scored, k, "vec_id", F.desc("cosine"), F.asc("vec_id")).select(
         "vec_id", "label", "cosine", "rank"
     )
+
+
+ANN_RECALL_QUERY_IDS = tuple(range(16))
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple = ANN_RECALL_QUERY_IDS,
+    k: int = 10,
+    planes: tuple = (4, 8, 12),
+) -> DataFrame:
+    """Measured recall@k of the LSH ANN tier against exact cosine ground
+    truth — the number an ANN user asks first, as a first-class gated
+    operator (so bucket-code changes can never silently regress recall).
+
+    One output row per n_planes: (n_queries, k, n_candidates, n_hits,
+    recall_ppm). ``recall_ppm`` is integer floor-division parts-per-million
+    (float-free value hash); ``n_candidates`` is the total scored-candidate
+    count across queries — the COST axis, so one gate row carries the whole
+    recall/cost tradeoff (BASELINE.md records the curve).
+
+    Scale shape: ground truth is |Q| bounded brute-force scans — this is a
+    MEASUREMENT harness run on a sample, not a serving path; the ANN side is
+    the same bucket/probe plan as lsh_ann_batch. Every collect is k x |Q|
+    rows (or one count), driver-bounded by construction.
+    """
+    from pyspark.sql.window import Window
+
+    emb = scoped_cache(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), "ann_recall_emb"
+    )
+    q = emb.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    nq = q.count()
+    if nq != len(query_ids):
+        raise ValueError(f"only {nq} of {len(query_ids)} query ids present")
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id")
+    )
+    truth = {(int(r["qid"]), int(r["vec_id"])) for r in exact.collect()}
+
+    out_rows = []
+    for p in sorted(planes):
+        enc = emb.withColumn("bucket", _lsh_bucket_col(p))
+        qb = q.withColumn("qb", _lsh_bucket_col(p, col=F.col("qv")))
+        probes = qb.select(
+            "qid",
+            "qv",
+            F.explode(
+                F.array(
+                    F.col("qb"),
+                    *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(p)],
+                )
+            ).alias("probe"),
+        )
+        cand = enc.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("qid")),
+        ).select("qid", "vec_id", F.round(cos, 6).alias("cosine"))
+        cand = scoped_cache(cand, f"ann_recall_cand_{p}")
+        n_candidates = cand.count()
+        ann = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id")
+            .collect()
+        )
+        hits = sum((int(r["qid"]), int(r["vec_id"])) in truth for r in ann)
+        out_rows.append(
+            (p, nq, k, n_candidates, hits, (hits * 1_000_000) // (k * nq))
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "n_planes int, n_queries bigint, k int, n_candidates bigint, "
+        "n_hits bigint, recall_ppm bigint",
+    )

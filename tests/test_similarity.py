@@ -124,3 +124,27 @@ def test_ivf_train_matches_numpy_lloyds(spark, sfdir):
         assert r["n"] == n
         assert round(r["val"], 6) == val
     assert sum(n_per.values()) == X.shape[0]
+
+
+def test_lsh_ann_recall_floors(spark, sfdir):
+    """Pinned recall@10 floors for the LSH ANN tier vs exact ground truth
+    (sf0.001, 16 queries). The synthetic embeddings are ~isotropic — the
+    documented LSH worst case — so the absolute numbers are modest by
+    construction; the floors exist to catch silent recall regressions when
+    bucket/probe code changes (r4 verdict 'What's missing' #3). Values are
+    fully deterministic, so equality would hold too; >= keeps improvements
+    green. The cost axis must stay monotone: more planes => fewer candidates.
+    """
+    from miru_spark.pipeline.similarity import ann_recall
+
+    rows = {r["n_planes"]: r for r in ann_recall(spark, sfdir).collect()}
+    assert set(rows) == {4, 8, 12}
+    floors = {4: 481250, 8: 100000, 12: 12500}  # measured on r5 code
+    for p, floor in floors.items():
+        assert rows[p]["recall_ppm"] >= floor, (p, rows[p]["recall_ppm"])
+    assert (
+        rows[4]["n_candidates"] > rows[8]["n_candidates"] > rows[12]["n_candidates"]
+    )
+    for r in rows.values():
+        assert r["n_queries"] == 16 and r["k"] == 10
+        assert 0 <= r["n_hits"] <= r["n_queries"] * r["k"]
