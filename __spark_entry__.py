@@ -727,6 +727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_stopworded_en": ft.ft_bm25_stopworded_en,  # Q2 locale analyzer e2e
         "ft_bm25_stopworded_de": ft.ft_bm25_stopworded_de,  # Q2 de set via de_at walk
         "ft_bm25_stemmed_en": ft.ft_bm25_stemmed_en,  # Q2 S-stemmer e2e (both sides)
+        # Q2 Porter e2e — ROWS-ONLY by design: Porter has no DuckDB form in
+        # this sandbox (analyzers.duckdb_tokens_sql raises with the reason);
+        # value parity pinned by tests/test_porter.py instead
+        "ft_bm25_porter_en": ft.ft_bm25_porter_en,
         "ft_highlights": ft.ft_highlights,  # Q3 best-4-fragment highlighter
         "ft_serve_bm25": ft.ft_serve_bm25,  # serving path: WAND + roaring filters
         "ft_bm25_batch": ft.ft_bm25_batch,  # N queries, ONE posting scan (search_batch)

@@ -107,7 +107,7 @@ STEM_S_SQL_CASE = (
 )
 
 
-VALID_STEMS = ("", "s")  # extended by ("porter",) when a new kind lands
+VALID_STEMS = ("", "s", "porter")  # see porter.py for the "porter" contract
 
 
 @dataclass(frozen=True)
@@ -138,9 +138,30 @@ class Analyzer:
         disagreeing. No-stem analyzers return the word unchanged."""
         if self.stem == "s":
             return stem_s_one(w)
+        if self.stem == "porter":
+            from miru_spark.porter import porter_stem
+
+            return porter_stem(w)
         return w
 
     def tokens_col(self, content: Column | str) -> Column:
+        if self.stem == "porter":
+            # Porter's conditions (measure over VC runs, context-dependent
+            # y-as-vowel) are not expressible in Column algebra or RE2 — the
+            # DataFrame path runs the SAME tokenize_pandas chain under an
+            # Arrow-batched pandas_udf (parity by construction; porter.py
+            # module docstring). The index-build hot path never takes this:
+            # it stems at the VOCAB level (stem_vocab, per unique word).
+            from pyspark.sql.types import ArrayType, StringType
+
+            anz = self
+
+            @F.pandas_udf(ArrayType(StringType()))
+            def _tok(s: pd.Series) -> pd.Series:
+                return anz.tokenize_pandas(s)
+
+            c = F.col(content) if isinstance(content, str) else content
+            return _tok(c)
         c = base.tokens_col(content)
         if self.stopwords:
             stop = F.lit(sorted(self.stopwords))
@@ -189,6 +210,14 @@ class Analyzer:
         return np.array([self.stem_one(w) for w in vocab.tolist()], dtype=object)
 
     def duckdb_tokens_sql(self, col: str = "content") -> str:
+        if self.stem == "porter":
+            raise NotImplementedError(
+                "Porter is not expressible in DuckDB SQL in this sandbox "
+                "(duckdb.stem() needs the non-installable fts extension; RE2 "
+                "has no lookbehind for the y-as-vowel rule) — porter-analyzed "
+                "gate entries are rows-only by design, value parity pinned by "
+                "tests/test_porter.py instead (porter.py module docstring)."
+            )
         out = base.duckdb_tokens_sql(col)
         if self.stopwords:
             lst = ", ".join(

@@ -465,6 +465,30 @@ def ft_bm25_stemmed_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_engine_topk(spark, res)
 
 
+def ft_bm25_porter_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 full stemming end-to-end: index built with the en stopword
+    analyzer + the PORTER stemmer (porter.py; Porter 1980 — what the
+    reference's Lucene English chain actually applies,
+    TermAnalyzers.java:51-84 / Lucene PorterStemFilter). The query carries a
+    stopword ('the') and two inflected terms ('merges', 'sorting') that the
+    build stemmed out of the dictionary (merges/merge → 'merg',
+    sorting/sorts/sort → 'sort') — un-stemmed query terms would hit the
+    required-term short circuit and return empty.
+
+    ROWS-ONLY gate by design: Porter is not expressible in DuckDB SQL in
+    this sandbox (analyzers.Analyzer.duckdb_tokens_sql raises with the
+    reason), so there is no oracle_sql() entry. The value-level guarantee
+    lives in tests/test_porter.py: the paper's own per-step vectors,
+    end-to-end reductions, parity across all implementation surfaces, and
+    a three-path (WAND / distributed / batch) rank-identity test over a
+    Porter-built index."""
+    from miru_spark.query.scorer import search_distributed
+
+    idx = build_documents_index_stopworded(spark, sf_dir, locale="en", stem="porter")
+    res = search_distributed(spark, idx, "the merges sorting", k=10)
+    return _finish_engine_topk(spark, res)
+
+
 def ft_serve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING path under the oracle gate: block-max WAND + roaring
     lang-filter bitmaps (search_local) over the real index, lang IN (en, de).
