@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from miru_spark import analyzers as anz
 from miru_spark.analyzer import SPLIT_PATTERN
 from miru_spark.functions.composer import long_to_lex
+from miru_spark.operators import catwalk_store as cstore
 from miru_spark.operators import feature_cache
 from miru_spark.operators import fulltext as ft
 from miru_spark.operators import relational as rel
@@ -768,6 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-equality proves the per-range merge is exact
         "catwalk_merged": rel.catwalk_merged,
         "strut_scores": rel.strut_scores,  # J5 scoring over catwalk_features
+        # CatwalkModelService persistence lifecycle (saveModel/getModel/repair):
+        # staged per-range persisted folds, reloaded from disk, merged — must
+        # hash-match union-training / full-retrain scoring
+        "catwalk_saved_model": cstore.catwalk_saved_model,
+        "strut_scores_saved": cstore.strut_scores_saved,
         "filter_boolean": rel.filter_boolean,
         "filter_xor": rel.filter_xor,
         "time_range_count": rel.time_range_count,
@@ -885,7 +891,7 @@ fp AS (SELECT doc_id, ({simhash_fp})::BIGINT AS simhash FROM bits)
   + least((CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t))) / len(toks) ELSE 0.0 END) / 8.0, 1.0) * 0.2
   + (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) ELSE 0.0 END) * 0.2
 """
-    return {
+    out = {
         "ft_bm25_and": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
         "ft_bm25_or": _bm25_sql(ft.QUERY_TERMS_OR, conjunctive=False),
         "ft_engine_bm25": _bm25_sql(ft.QUERY_TERMS, conjunctive=True),
@@ -1600,3 +1606,10 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM tokarr GROUP BY lang ORDER BY lang
 """,
     }
+    # persisted-store gates serve the SAME values as their retrain
+    # counterparts by construction (catwalk_store.py) — identical oracles:
+    # the persist -> reload -> merge round-trip must hash-match
+    # union-training (catwalk_features) / full-retrain scoring (strut_scores)
+    out["catwalk_saved_model"] = out["catwalk_features"]
+    out["strut_scores_saved"] = out["strut_scores"]
+    return out

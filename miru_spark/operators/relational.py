@@ -650,31 +650,7 @@ def catwalk_model_cache(spark: SparkSession, sf_dir: str, cache_dir: str):
     hi_ids, am_ids = _catwalk_numerator_sets(spark, sf_dir)
 
     def prepare(ev: DataFrame) -> DataFrame:
-        d = ev.select(
-            "user_id",
-            F.col("event_type").alias("fkey0"),
-            F.concat_ws(
-                "|", "event_type", F.floor(F.col("value") / 25).cast("int").cast("string")
-            ).alias("fkey1"),
-        )
-        feat = d.select(
-            "user_id",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("feature_id"), F.col("fkey0").alias("feature_key")),
-                    F.struct(F.lit(1).alias("feature_id"), F.col("fkey1").alias("feature_key")),
-                )
-            ).alias("f"),
-        ).select("user_id", "f.feature_id", "f.feature_key")
-        kinds = F.filter(
-            F.array(
-                F.lit("all"),
-                F.when(F.col("user_id").isin(hi_ids), F.lit("hi")),
-                F.when(F.col("user_id").isin(am_ids), F.lit("am")),
-            ),
-            lambda x: x.isNotNull(),
-        )
-        return feat.select("feature_id", "feature_key", F.explode(kinds).alias("kind"))
+        return catwalk_kind_rows(ev, hi_ids, am_ids)
 
     return FeatureCache(
         spark,
@@ -683,6 +659,49 @@ def catwalk_model_cache(spark: SparkSession, sf_dir: str, cache_dir: str):
         prepare=prepare,
         id_col="event_id",
     )
+
+
+def catwalk_kind_rows(
+    ev: DataFrame, hi_ids: list, am_ids: list, range_id: int | None = None
+) -> DataFrame:
+    """Project raw events into (feature_id, feature_key, kind) count rows —
+    the Feature pack the incremental cache and the persisted model store
+    both aggregate. kind ∈ {all, hi, am}: 'all' counts every doc of the
+    feature value (the FeatureScore denominator); 'hi'/'am' count docs
+    whose pivot term is in that numerator's gather set. The gather sets are
+    passed IN (fixed at model registration — CatwalkQuery modelFilters),
+    which is what makes incremental folding exact: counts are pure sums.
+    ``range_id`` restricts to one partition range (the per-range saveModel
+    slice, CatwalkModelService.java:100-155); the filter is a pushed
+    predicate over the derived column, all map-side."""
+    d = ev.select(
+        "user_id",
+        F.col("event_type").alias("fkey0"),
+        F.concat_ws(
+            "|", "event_type", F.floor(F.col("value") / 25).cast("int").cast("string")
+        ).alias("fkey1"),
+        F.pmod(F.dayofyear("ts"), F.lit(_CATWALK_N_RANGES)).cast("int").alias("range_id"),
+    )
+    if range_id is not None:
+        d = d.filter(F.col("range_id") == F.lit(int(range_id)))
+    feat = d.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("feature_id"), F.col("fkey0").alias("feature_key")),
+                F.struct(F.lit(1).alias("feature_id"), F.col("fkey1").alias("feature_key")),
+            )
+        ).alias("f"),
+    ).select("user_id", "f.feature_id", "f.feature_key")
+    kinds = F.filter(
+        F.array(
+            F.lit("all"),
+            F.when(F.col("user_id").isin(hi_ids), F.lit("hi")),
+            F.when(F.col("user_id").isin(am_ids), F.lit("am")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return feat.select("feature_id", "feature_key", F.explode(kinds).alias("kind"))
 
 
 def strut_scores_from_cache(
@@ -694,8 +713,16 @@ def strut_scores_from_cache(
     never touched) and run the shared scoring tail. Score-identical to
     strut_scores' full retrain by construction (counts are sums); pinned in
     tests with a split-ingestion cache."""
-    counts = cache.counts()
-    model = (
+    return _strut_rank(spark, sf_dir, model_from_kind_counts(cache.counts()), k)
+
+
+def model_from_kind_counts(counts: DataFrame) -> DataFrame:
+    """Reshape (feature_id, feature_key, kind, n) cache counts into the
+    FeatureScore model relation (num_hi, num_am, denom) — shared by the
+    incremental cache serving path above and the persisted model store
+    (operators/catwalk_store.py). Counts are sums, so the same reshape is
+    exact whether the input is one cache or a union of per-range caches."""
+    return (
         counts.groupBy("feature_id", "feature_key")
         .agg(
             F.coalesce(F.sum(F.when(F.col("kind") == "hi", F.col("n"))), F.lit(0)).alias("num_hi"),
@@ -710,7 +737,6 @@ def strut_scores_from_cache(
             F.col("denom").cast("long"),
         )
     )
-    return _strut_rank(spark, sf_dir, model, k)
 
 
 # --- General relational breadth: TPC-H-style agg + 3-way join with a
