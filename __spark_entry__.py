@@ -21,7 +21,7 @@ from miru_spark.operators import catwalk_store as cstore
 from miru_spark.operators import feature_cache
 from miru_spark.operators import fulltext as ft
 from miru_spark.operators import relational as rel
-from miru_spark.pipeline import dedup, multimodal, similarity, text
+from miru_spark.pipeline import dedup, epoch, multimodal, similarity, text
 
 # ---------------------------------------------------------------- SQL snippets
 _TOKS = f"list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')"
@@ -843,6 +843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": text.pack_sequences,  # concat-and-chunk packing audit
         "mixture_resample": text.mixture_resample,  # deterministic mixture up/down-sampling
         "epoch_build": text.epoch_build,  # composition: dedup -> resample -> pack
+        # the MATERIALIZED epoch: sharded placement artifact written with the
+        # index-segment resume contract; audit answered from manifests alone
+        "epoch_write_audit": epoch.epoch_write_audit,
         # per-source quota capping (corpus balancing) — deterministic hash sample
         "domain_quota_sample": text.domain_quota_sample,
         "doc_fingerprints": text.doc_fingerprints,
@@ -1612,4 +1615,7 @@ FROM tokarr GROUP BY lang ORDER BY lang
     # union-training (catwalk_features) / full-retrain scoring (strut_scores)
     out["catwalk_saved_model"] = out["catwalk_features"]
     out["strut_scores_saved"] = out["strut_scores"]
+    # the materialized epoch's manifest-aggregated audit must equal the
+    # audited composition exactly (pipeline/epoch.py)
+    out["epoch_write_audit"] = out["epoch_build"]
     return out

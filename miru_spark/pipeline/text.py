@@ -462,12 +462,14 @@ def pack_sequences(
     return pack_stats(counted, seq_len)
 
 
-def pack_stats(counted: DataFrame, seq_len: int) -> DataFrame:
-    """The packing core over ANY (stream_id, lang, n_tokens) relation —
-    stream_id is the monotone concatenation order within each lang (plain
-    doc_id for pack_sequences; (doc_id, rep) flattened for epoch_build).
-    Same two-level prefix sum and output schema as pack_sequences."""
-    L = F.lit(seq_len)
+def pack_offsets(counted: DataFrame) -> DataFrame:
+    """Per-row token START offsets for the concat-in-stream_id-order packing
+    — the two-level distributed prefix sum (within-bucket window + broadcast
+    per-lang bucket offsets) factored out so pack_stats (the audit) and
+    pipeline/epoch.py:epoch_write (the materialized artifact) compute
+    placement from ONE definition. Input: (stream_id, lang, n_tokens, ...);
+    output: the same rows + a ``start`` column. The offsets relation is
+    #buckets rows, so no lang ever serializes onto one task."""
     bucket_width = 4096
     counted = counted.withColumn(
         "bkt", F.floor(F.col("stream_id") / F.lit(bucket_width))
@@ -487,12 +489,26 @@ def pack_stats(counted: DataFrame, seq_len: int) -> DataFrame:
     offsets = bkt_tot.select(
         "lang", "bkt", F.coalesce(F.sum("tot").over(wo), F.lit(0)).alias("off")
     )
-    start = local_cum + F.col("off")
+    return (
+        counted.withColumn("_local_cum", local_cum)
+        .join(F.broadcast(offsets), ["lang", "bkt"])
+        .withColumn("start", F.col("_local_cum") + F.col("off"))
+        .drop("_local_cum", "off", "bkt")
+    )
+
+
+def pack_stats(counted: DataFrame, seq_len: int) -> DataFrame:
+    """The packing core over ANY (stream_id, lang, n_tokens) relation —
+    stream_id is the monotone concatenation order within each lang (plain
+    doc_id for pack_sequences; (doc_id, rep) flattened for epoch_build).
+    Same two-level prefix sum and output schema as pack_sequences."""
+    L = F.lit(seq_len)
+    start = F.col("start")
     end = start + F.col("n_tokens")
     first_seq = F.floor(start / L)
     last_seq = F.floor((end - F.lit(1)) / L)
     nonempty = F.col("n_tokens") > 0
-    per_doc = counted.join(F.broadcast(offsets), ["lang", "bkt"]).select(
+    per_doc = pack_offsets(counted).select(
         "lang",
         "n_tokens",
         F.when(nonempty & (first_seq != last_seq), F.lit(1))
@@ -630,6 +646,23 @@ def epoch_build(spark: SparkSession, sf_dir: str, seq_len: int = 2048) -> DataFr
     counted ONCE per surviving doc, before the copy explode. All three
     stages keep their individual scale shapes: dedup shuffles digests only,
     resampling is map-only, packing is the two-level prefix sum."""
+    counted = scoped_cache(
+        epoch_stream(spark, sf_dir).select("stream_id", "lang", "n_tokens"),
+        "epoch_build",
+    )
+    return pack_stats(counted, seq_len)
+
+
+def epoch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch's document stream: exact-dedup survivors → mixture
+    resampling, flattened to the monotone per-lang concatenation order
+    stream_id = doc_id*EPOCH_STREAM_STRIDE + rep — collision-free because
+    the default weights cap reps at MIX_MAX_REPS (guarded). ONE definition
+    shared by epoch_build (the audit) and pipeline/epoch.py:epoch_write
+    (the materialized artifact), so the two can never disagree about what
+    the epoch contains. Tokens are counted ONCE per surviving doc, before
+    the copy explode. Columns: (stream_id, doc_id, rep, source, lang,
+    n_tokens)."""
     if MIX_MAX_REPS > EPOCH_STREAM_STRIDE:
         raise ValueError(
             f"mixture weights allow {MIX_MAX_REPS} copies per doc but the "
@@ -650,17 +683,13 @@ def epoch_build(spark: SparkSession, sf_dir: str, seq_len: int = 2048) -> DataFr
         .drop("_rn", "digest")
     )
     emitted = resample_emit(survivors)
-    # cached: pack_stats references its input twice (bucket totals + the
-    # per-row join), which would otherwise re-run the digest window and the
-    # copy explode per branch
-    counted = scoped_cache(
-        emitted.select(
-            (F.col("doc_id") * F.lit(EPOCH_STREAM_STRIDE) + F.col("rep")).alias(
-                "stream_id"
-            ),
-            "lang",
-            "n_tokens",
+    return emitted.select(
+        (F.col("doc_id") * F.lit(EPOCH_STREAM_STRIDE) + F.col("rep")).alias(
+            "stream_id"
         ),
-        "epoch_build",
+        "doc_id",
+        "rep",
+        "source",
+        "lang",
+        "n_tokens",
     )
-    return pack_stats(counted, seq_len)
