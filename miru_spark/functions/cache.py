@@ -29,3 +29,15 @@ def scoped_cache(df: DataFrame, scope: str) -> DataFrame:
             pass  # session torn down between calls — nothing to release
     _SCOPES[scope] = [df]
     return df.cache()
+
+
+def release_scope(scope: str) -> None:
+    """Unpersist a scope's cache NOW. For operators that fully materialize
+    their result driver-side before returning (a collect()ed measurement,
+    never a lazy DataFrame that still depends on the cache) — leaving the
+    cache to the next generation would pin it across unrelated operators."""
+    for old in _SCOPES.pop(scope, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass

@@ -76,7 +76,9 @@ class CatwalkModelStore:
         hi, am = self.hi_ids, self.am_ids
 
         def prepare(ev: DataFrame) -> DataFrame:
-            return catwalk_kind_rows(ev, hi, am, range_id=range_id)
+            return catwalk_kind_rows(
+                ev, hi, am, range_id=range_id, n_ranges=self.n_ranges
+            )
 
         return FeatureCache(
             self.spark,
@@ -141,13 +143,22 @@ class CatwalkModelStore:
 
 
 # --- gate wiring -------------------------------------------------------------
+_GATE_STORE_MEMO: dict[str, str] = {}  # sf_dir -> completed store_dir
+
+
 def _store_for_gate(spark: SparkSession, sf_dir: str) -> CatwalkModelStore:
     """Fresh store exercising the REAL lifecycle: register, then persist via
     TWO staged saves split at the median event_id — the second fold must be
     incremental (from the recorded high water), proving the gate reads a
     model that was genuinely assembled from persisted partial ranges, not a
-    one-shot retrain wearing a costume."""
+    one-shot retrain wearing a costume. Memoized per (process, sf_dir): both
+    gates (catwalk_saved_model, strut_scores_saved) read the SAME persisted
+    store — each still reloads it from disk through a fresh instance, so the
+    round-trip claim is untouched while the fact scan happens once."""
     import shutil
+
+    if sf_dir in _GATE_STORE_MEMO:
+        return CatwalkModelStore(spark, _GATE_STORE_MEMO[sf_dir], sf_dir)
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     store_dir = os.path.join(
@@ -160,6 +171,7 @@ def _store_for_gate(spark: SparkSession, sf_dir: str) -> CatwalkModelStore:
     second = store.save_model(ev)
     assert all(s["full_recompute"] for s in first.values())
     assert all(not s["full_recompute"] and s["from_id"] == mid for s in second.values())
+    _GATE_STORE_MEMO[sf_dir] = store.store_dir
     return store
 
 

@@ -662,7 +662,11 @@ def catwalk_model_cache(spark: SparkSession, sf_dir: str, cache_dir: str):
 
 
 def catwalk_kind_rows(
-    ev: DataFrame, hi_ids: list, am_ids: list, range_id: int | None = None
+    ev: DataFrame,
+    hi_ids: list,
+    am_ids: list,
+    range_id: int | None = None,
+    n_ranges: int = _CATWALK_N_RANGES,
 ) -> DataFrame:
     """Project raw events into (feature_id, feature_key, kind) count rows —
     the Feature pack the incremental cache and the persisted model store
@@ -673,14 +677,17 @@ def catwalk_kind_rows(
     which is what makes incremental folding exact: counts are pure sums.
     ``range_id`` restricts to one partition range (the per-range saveModel
     slice, CatwalkModelService.java:100-155); the filter is a pushed
-    predicate over the derived column, all map-side."""
+    predicate over the derived column, all map-side. ``n_ranges`` MUST be
+    the store's registered range count — hashing with a different modulus
+    than the store folds with would silently drop events from ranges the
+    store never visits (CatwalkModelStore passes its own)."""
     d = ev.select(
         "user_id",
         F.col("event_type").alias("fkey0"),
         F.concat_ws(
             "|", "event_type", F.floor(F.col("value") / 25).cast("int").cast("string")
         ).alias("fkey1"),
-        F.pmod(F.dayofyear("ts"), F.lit(_CATWALK_N_RANGES)).cast("int").alias("range_id"),
+        F.pmod(F.dayofyear("ts"), F.lit(int(n_ranges))).cast("int").alias("range_id"),
     )
     if range_id is not None:
         d = d.filter(F.col("range_id") == F.lit(int(range_id)))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from miru_spark.functions.cache import scoped_cache
+from miru_spark.functions.cache import release_scope, scoped_cache
 from miru_spark.functions.topk import ranked_topk as _ranked_topk
 from pyspark.sql import functions as F
 
@@ -638,10 +638,14 @@ def ann_recall(
             .select("qid", "vec_id")
             .collect()
         )
+        release_scope(f"ann_recall_cand_{p}")
         hits = sum((int(r["qid"]), int(r["vec_id"])) in truth for r in ann)
         out_rows.append(
             (p, nq, k, n_candidates, hits, (hits * 1_000_000) // (k * nq))
         )
+    # everything above is collect()ed — nothing lazy depends on the caches,
+    # so release them instead of pinning the embeddings table across ops
+    release_scope("ann_recall_emb")
     return spark.createDataFrame(
         out_rows,
         "n_planes int, n_queries bigint, k int, n_candidates bigint, "

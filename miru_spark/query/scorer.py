@@ -138,6 +138,13 @@ class _SparseCol:
         # ids absent from the fetched universe must raise, not silently
         # return a neighbor's value (searchsorted alone would): verify the
         # hit vectorized, clamping the top-end insertion point first.
+        if self._ids.size == 0:
+            if np.asarray(idx).size == 0:
+                return self._vals[np.zeros(0, dtype=np.int64)]
+            raise KeyError(
+                f"sparse doc_meta fetch is empty; requested "
+                f"{np.atleast_1d(idx)[:3].tolist()}..."
+            )
         i = np.minimum(np.searchsorted(self._ids, idx), self._ids.size - 1)
         if not np.all(self._ids[i] == idx):
             missing = np.asarray(idx)[np.asarray(self._ids[i] != idx)]

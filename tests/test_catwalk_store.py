@@ -126,3 +126,16 @@ def test_strut_scores_from_saved_store_rank_identical(spark, sf_dir, events, sto
     want = rel.strut_scores(spark, sf_dir, k=20).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     rel.strut_model_cache_clear()
+
+
+def test_custom_n_ranges_counts_every_event(spark, sf_dir, events, tmp_path):
+    """Regression (r5 review): the range hash must use the STORE's n_ranges,
+    not the module constant — with n_ranges=2 every event still lands in
+    exactly one range, so the merged model equals union training. Under the
+    old code, events with pmod(dayofyear, 4) in {2, 3} were silently dropped
+    from both ranges."""
+    store = CatwalkModelStore(spark, str(tmp_path / "s2"), sf_dir, n_ranges=2)
+    store.save_model(events)
+    assert _model_rows(store.merged_model()) == _model_rows(
+        rel.catwalk_features(spark, sf_dir)
+    )

@@ -121,3 +121,91 @@ def test_rerun_without_resume_rebuilds(spark, sf_dir, tmp_path):
     s1 = E.epoch_write(spark, sf_dir, out, SEQ_LEN, SPS)
     s2 = E.epoch_write(spark, sf_dir, out, SEQ_LEN, SPS, resume=False)
     assert s2["built"] == s1["n_shards"] and s2["skipped"] == 0
+
+
+def _tiny_corpus(tmp_path):
+    """3-doc corpus with one doc longer than a whole (seq_len=4, sps=2)
+    shard. source='web' hashes to mixture weight exactly 2.0 — every doc
+    emits exactly 2 copies, no fractional-hash dependence — so the stream
+    is fully deterministic: 2+2+100+100+2+2 = 208 tokens, 26 shards of 8."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf_tiny"
+    d.mkdir()
+    giant = " ".join(f"tok{i}" for i in range(100))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "lang": ["en", "en", "en"],
+            "source": ["web", "web", "web"],
+            "text": ["alpha beta", giant, "gamma delta"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_whole_shard_doc_writes_hole_manifests(spark, tmp_path):
+    """A doc spanning entire shards produces groups the groupBy never emits;
+    the writer must fill those HOLES with n_rows=0 manifests (full-carry
+    shards) so the manifest directory is gapless and the loader contract
+    (shard S = shard S's rows + carry_in) holds for every shard."""
+    import json
+
+    sf = _tiny_corpus(tmp_path)
+    out = str(tmp_path / "epoch_hole")
+    s = E.epoch_write(spark, sf, out, seq_len=4, seqs_per_shard=2)
+
+    man_dir = os.path.join(out, "manifests")
+    mans = {}
+    for name in os.listdir(man_dir):
+        with open(os.path.join(man_dir, name)) as f:
+            m = json.load(f)
+        mans[m["shard"]] = m
+    # gapless numbering, counted in the epoch summary
+    assert sorted(mans) == list(range(max(mans) + 1))
+    assert s["n_shards"] == len(mans) == 26
+    holes = [m for m in mans.values() if m["n_rows"] == 0]
+    assert len(holes) == 23  # giant doc's 2 copies cover 23 rowless shards
+    for m in holes:
+        assert m["data_file"] == "" and m["sum_tokens"] == 0
+        assert 0 < m["carry_in_tokens"] <= 8
+        assert m["min_start"] == m["shard"] * 8 + m["carry_in_tokens"]
+    # the manifest-only audit still equals the audited composition exactly
+    got = _audit_rows(E.epoch_audit(spark, out, 4))
+    want = _audit_rows(T.epoch_build(spark, sf, seq_len=4))
+    assert got == want
+    # resume: hole manifests skip like real ones
+    s2 = E.epoch_write(spark, sf, out, seq_len=4, seqs_per_shard=2)
+    assert s2["skipped"] == s2["n_shards"] and s2["built"] == 0
+
+
+def test_params_mismatch_raises(spark, sf_dir, tmp_path):
+    """Reopening an epoch dir with different packing params must refuse
+    rather than produce a mixed-parameter artifact."""
+    out = str(tmp_path / "epoch_params")
+    E.epoch_write(spark, sf_dir, out, SEQ_LEN, SPS)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        E.epoch_write(spark, sf_dir, out, SEQ_LEN * 2, SPS)
+
+
+def test_resume_checksum_rejects_stale_shard(spark, sf_dir, tmp_path):
+    """The resume skip requires the content checksum to match, not just the
+    row count — a shard whose recorded content no longer matches the
+    recomputed placement (edited corpus, same doc count) must rebuild."""
+    import json
+
+    out = str(tmp_path / "epoch_chk")
+    s1 = E.epoch_write(spark, sf_dir, out, SEQ_LEN, SPS)
+    man_dir = os.path.join(out, "manifests")
+    name = sorted(os.listdir(man_dir))[0]
+    p = os.path.join(man_dir, name)
+    with open(p) as f:
+        m = json.load(f)
+    m["checksum"] ^= 1
+    with open(p, "w") as f:
+        json.dump(m, f)
+    s2 = E.epoch_write(spark, sf_dir, out, SEQ_LEN, SPS)
+    assert s2["built"] == 1 and s2["skipped"] == s1["n_shards"] - 1

@@ -178,3 +178,9 @@ def test_sparse_col_rejects_absent_ids():
         col[np.array([21])]  # past the top end: old code raised IndexError
     with pytest.raises(KeyError):
         col[np.array([3, 8, 20])]  # mixed present/absent
+    # empty fetched universe: KeyError (not IndexError from ids[-1]), and
+    # an empty request against it is legal (vacuously present)
+    empty = _SparseCol(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    with pytest.raises(KeyError):
+        empty[np.array([5])]
+    assert empty[np.array([], dtype=np.int64)].size == 0
