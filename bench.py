@@ -126,6 +126,12 @@ def main() -> None:
         # deterministic mixture resampling (map-only emit + audit), plus
         # their composition with exact dedup (the epoch capstone)
         "pack_sequences", "mixture_resample", "epoch_build",
+        # round-5 operators: Porter-stemmed BM25 e2e (builds its own index,
+        # cached per analyzer), persisted Catwalk store round-trip + serving
+        # (the two gates share one staged build), materialized epoch artifact
+        # (write + manifest-only audit), measured ANN recall/cost curve
+        "ft_bm25_porter_en", "catwalk_saved_model", "strut_scores_saved",
+        "epoch_write_audit", "lsh_ann_recall",
     ]
     qmap = entry.queries()
     for name in headline:
