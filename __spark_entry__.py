@@ -21,7 +21,7 @@ from miru_spark.operators import catwalk_store as cstore
 from miru_spark.operators import feature_cache
 from miru_spark.operators import fulltext as ft
 from miru_spark.operators import relational as rel
-from miru_spark.pipeline import dedup, epoch, multimodal, similarity, text
+from miru_spark.pipeline import dedup, epoch, multimodal, quantize, similarity, text
 
 # ---------------------------------------------------------------- SQL snippets
 _TOKS = f"list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')"
@@ -654,6 +654,104 @@ FROM cent JOIN sizes USING (cluster) ORDER BY cluster, pos
 """
 
 
+def _pq_ctes(m: int = 4, ksub: int = 4, dsub: int = 16) -> str:
+    """Shared CTE prefix for the PQ oracles: the ENTIRE 2-iteration
+    per-subspace deterministic Lloyd's program in SQL, ending at c2 (final
+    codebooks) and a2 (final per-(vec, subspace) code assignment). Mirrors
+    `pipeline/quantize._pq_fit`'s contract exactly — same seeds rule, same
+    9-dp round-before-argmin, same 6-dp-rounded means — which is the
+    _ivf_train_oracle_sql protocol extended with a subspace key."""
+
+    def dist(cent_cte: str) -> str:
+        return (
+            f"SELECT s.vec_id, s.subspace, t.cluster,"
+            f" round(sum((s.sv[p.i] - t.c[p.i]) * (s.sv[p.i] - t.c[p.i])), 9) AS d"
+            f" FROM sub s JOIN {cent_cte} t ON s.subspace = t.subspace"
+            f" CROSS JOIN pos p GROUP BY s.vec_id, s.subspace, t.cluster"
+        )
+
+    def argmin(d_cte: str) -> str:
+        return (
+            f"SELECT vec_id, subspace, cluster FROM ("
+            f" SELECT vec_id, subspace, cluster,"
+            f" row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, cluster) AS rn"
+            f" FROM {d_cte}) WHERE rn = 1"
+        )
+
+    def update(a_cte: str) -> str:
+        return (
+            f"SELECT subspace, cluster, list(mm ORDER BY i) AS c FROM ("
+            f" SELECT a.subspace AS subspace, a.cluster AS cluster, p.i AS i,"
+            f" round(avg(s.sv[p.i]), 6) AS mm"
+            f" FROM sub s JOIN {a_cte} a"
+            f" ON s.vec_id = a.vec_id AND s.subspace = a.subspace"
+            f" CROSS JOIN pos p GROUP BY a.subspace, a.cluster, p.i)"
+            f" GROUP BY subspace, cluster"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+js AS (SELECT unnest(range(0, {m}))::INT AS j),
+sub AS (SELECT vec_id, j AS subspace, v[j*{dsub}+1 : j*{dsub}+{dsub}] AS sv
+        FROM e, js),
+pos AS (SELECT unnest(range(1, {dsub + 1}))::INT AS i),
+seeds AS (
+  SELECT subspace, rn - 1 AS cluster, sv AS c FROM (
+    SELECT subspace, sv,
+           row_number() OVER (PARTITION BY subspace ORDER BY vec_id) AS rn
+    FROM sub) WHERE rn <= {ksub}),
+d0 AS ({dist('seeds')}),
+a0 AS ({argmin('d0')}),
+c1 AS ({update('a0')}),
+d1 AS ({dist('c1')}),
+a1 AS ({argmin('d1')}),
+c2 AS ({update('a1')}),
+d2 AS ({dist('c2')}),
+a2 AS ({argmin('d2')})"""
+
+
+def _pq_train_oracle_sql() -> str:
+    """pq_train oracle: the shared Lloyd's prefix + final sizes + codebook
+    unpivot — (subspace, cluster, n, pos, val), same empty-cell-free shape
+    the Spark side guards for (it RAISES on an empty cell; the oracle would
+    simply emit fewer rows, turning the gate red — fail-loud parity)."""
+    return f"""{_pq_ctes()},
+sizes AS (SELECT subspace, cluster, count(*) AS n FROM a2
+          GROUP BY subspace, cluster),
+cent AS (SELECT subspace, cluster, p.i - 1 AS pos, c[p.i] AS val
+         FROM c2 CROSS JOIN pos p)
+SELECT cent.subspace AS subspace, cent.cluster AS cluster, sizes.n AS n,
+       cent.pos AS pos, cent.val AS val
+FROM cent JOIN sizes USING (subspace, cluster)
+ORDER BY subspace, cluster, pos
+"""
+
+
+def _pq_topk_oracle_sql(k: int = 10) -> str:
+    """pq_topk oracle: the shared Lloyd's prefix + the ADC program — the
+    query's per-(subspace, cluster) 9-dp-rounded distance table joined to
+    the final code assignment, summed per vector, 6-dp rounded, top-k by
+    (adc asc, vec_id asc). Quantization ties are expected (256 code
+    combinations) and resolved identically on both engines."""
+    return f"""{_pq_ctes()},
+q AS (SELECT subspace, sv AS qsv FROM sub WHERE vec_id = 0),
+dtab AS (
+  SELECT t.subspace, t.cluster,
+         round(sum((q.qsv[p.i] - t.c[p.i]) * (q.qsv[p.i] - t.c[p.i])), 9) AS d
+  FROM c2 t JOIN q ON t.subspace = q.subspace CROSS JOIN pos p
+  GROUP BY t.subspace, t.cluster),
+adcs AS (
+  SELECT a.vec_id, round(sum(dt.d), 6) AS adc
+  FROM a2 a JOIN dtab dt
+    ON a.subspace = dt.subspace AND a.cluster = dt.cluster
+  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+SELECT e.vec_id AS vec_id, e.label AS label, adcs.adc AS adc,
+       row_number() OVER (ORDER BY adcs.adc ASC, e.vec_id ASC) AS rank
+FROM adcs JOIN e USING (vec_id)
+QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
 # shingle CTE shared by ngram/minhash oracles (3-token shingles, distinct)
 _SHINGLE_CTE = f"""
 tokarr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -806,6 +904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": similarity.ivf_topk,  # full-SQL IVF oracle (_ivf_oracle_sql)
         # deterministic distributed Lloyd's k-means — IVF codebook training
         "ivf_train": similarity.ivf_train,
+        # product quantization: per-subspace codebooks (train) + asymmetric-
+        # distance top-k over map-only codes (serve) — the bytes-per-vector
+        # scale path (64x compression at production params); both carry
+        # full unrolled-SQL value-hash oracles (_pq_ctes)
+        "pq_train": quantize.pq_train,
+        "pq_topk": quantize.pq_topk,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -1585,6 +1689,8 @@ FROM flat GROUP BY lang ORDER BY lang
         "lsh_ann_recall": _ann_recall_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "ivf_train": _ivf_train_oracle_sql(),
+        "pq_train": _pq_train_oracle_sql(),
+        "pq_topk": _pq_topk_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

@@ -132,6 +132,9 @@ def main() -> None:
         # (write + manifest-only audit), measured ANN recall/cost curve
         "ft_bm25_porter_en", "catwalk_saved_model", "strut_scores_saved",
         "epoch_write_audit", "lsh_ann_recall",
+        # product quantization: per-subspace codebook training + ADC top-k
+        # over map-only codes (the bytes-per-vector scale path)
+        "pq_train", "pq_topk",
     ]
     qmap = entry.queries()
     for name in headline:

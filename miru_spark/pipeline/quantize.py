@@ -1,0 +1,348 @@
+"""Product quantization (PQ) for the embedding tier — the bytes-per-vector
+scale path.
+
+At the 100-TB decade the float32 embedding column is itself the problem:
+64 dims x 4 B = 256 B/vector, and every ANN variant in
+`pipeline/similarity.py` still ultimately scans or re-ranks against those
+floats. PQ (Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI) splits each vector into ``m`` contiguous
+subvectors, trains an independent ``ksub``-centroid codebook per subspace
+(plain k-means, run per subspace), and stores each vector as ``m`` small
+codes — one byte each at ksub<=256, a 64x compression here — while queries
+score against codes via the Asymmetric Distance Computation (ADC): an
+m x ksub lookup table of exact query-subvector-to-centroid distances, so
+the corpus scan reads ONLY the code columns and does ONLY table lookups.
+
+Deterministic contract (the same protocol as `similarity.ivf_train`, which
+is what makes an exact DuckDB value-hash oracle possible):
+- seeds per subspace = the subvectors of the ``ksub`` smallest vec_ids
+  (never rand());
+- assignment = squared-L2 argmin on 9-dp-ROUNDED distances, ties to the
+  lower code (both engines);
+- centroid update = element-wise mean ROUNDED 6 dp, so the next
+  iteration's literals are bit-identical regardless of partitioning or
+  engine; raises if any (subspace, cluster) cell empties;
+- ADC = per-(subspace, code) 9-dp-rounded squared distance, summed over
+  the m subspaces, rounded 6 dp (round-then-compare on both engines).
+
+Scale shape:
+- TRAIN: per iteration exactly ONE map-side-combined aggregate keyed by
+  (subspace, cluster, pos) — m*ksub*dsub rows cross the exchange, never
+  the corpus — and the codebook returns to the plan as broadcast-folded
+  literals, so assignment is a map-only pass. One corpus scan per
+  iteration; at 100 TB you train on a bounded sample with the same code
+  (the codebook is m*ksub*dsub doubles regardless of corpus size).
+- ENCODE: map-only; the codebook is folded literals, output is m small
+  ints per row. At scale this runs ONCE at ingest and the codes are a
+  stored table column (like `build_bucketed_embeddings` stores buckets);
+  the gate form trains + encodes in one invocation for a self-contained
+  oracle.
+- SERVE (ADC): the m x ksub distance table is computed from the query at
+  plan time (constant-folded literals — ksub*m*dsub double ops on the
+  driver-side plan, zero per-row float math), the scan reads only codes,
+  and top-k is TakeOrderedAndProject. No shuffle beyond the k-row merge.
+- Composition: partition the corpus by `ivf_train`'s coarse cells and
+  PQ-encode residuals per cell for IVF-PQ — the coarse cell prunes the
+  scan (see `lsh_ann_partitioned`'s PartitionFilters story), PQ prunes
+  the bytes.
+
+Reference analog: none — the reference engine has no vector tier
+(VERDICT r2); this extends the similarity tier's scale story downward in
+bytes/vector the same way `lsh_ann_partitioned` extends it in scan bytes.
+
+Gate defaults (m=4, ksub=4, n_iter=2, k=10, query_vec_id=0) are sized so
+the unrolled-SQL oracle stays tractable; production would be m=8..16,
+ksub=256, trained on a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.functions.cache import scoped_cache
+from miru_spark.functions.topk import ranked_topk
+
+
+def _sqdist_lit(sub_col: Column, cent: list[float]) -> Column:
+    """Squared L2 distance from a subvector column to one literal centroid.
+    Element math in float64 (subvectors are float32 slices on disk; doing
+    the math in double makes Spark and DuckDB bit-identical on identical
+    inputs); summation-order noise (~1e-13 relative) is absorbed by the
+    caller's 9-dp round — the repo's standard float parity protocol."""
+    arr = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _code_col(sub_col: Column, book: list[list[float]]) -> Column:
+    """argmin-over-codebook as ONE array_min over (distance, code) structs —
+    ksub subexpressions, each appearing once (the fold-style when-chain
+    alternative re-embeds every prior branch; see CLAUDE.md lang_id note).
+    Distances rounded 9 dp first so double sum-order noise cannot flip the
+    argmin between engines; genuine sub-1e-9 ties break to the lower code
+    via struct ordering on both."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sqdist_lit(sub_col, c), 9).alias("d"),
+                    F.lit(j).alias("code"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+    )["code"]
+
+
+def _sub_slice(j: int, dsub: int) -> Column:
+    return F.slice(F.col("embedding"), j * dsub + 1, dsub)
+
+
+def _pq_fit(
+    spark: SparkSession, sf_dir: str, m: int, ksub: int, n_iter: int
+) -> tuple[list[list[list[float]]], dict[tuple[int, int], int], int]:
+    """Train the m per-subspace codebooks (deterministic Lloyd's, shared
+    contract with `similarity.ivf_train`). Returns (books, sizes, dsub)
+    where books[j][c] is subspace j's cluster-c centroid (6-dp doubles) and
+    sizes[(j, c)] the final assignment count. Every per-iteration exchange
+    carries m*ksub*dsub rows; the corpus never shuffles."""
+    from miru_spark.pipeline.similarity import _emb
+
+    emb = scoped_cache(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), "pq_train_emb"
+    )
+    seed_rows = emb.orderBy("vec_id").limit(ksub).collect()
+    if len(seed_rows) < ksub:
+        raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    dim = len(seed_rows[0]["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [
+        [
+            [float(v) for v in r["embedding"][j * dsub : (j + 1) * dsub]]
+            for r in seed_rows
+        ]
+        for j in range(m)
+    ]
+    want = {(j, c) for j in range(m) for c in range(ksub)}
+
+    for _ in range(n_iter):
+        # ONE pass for all m subspaces: explode m (subspace, code, subvec)
+        # structs per row, posexplode the subvector, ONE map-side-combined
+        # aggregate keyed (subspace, cluster, pos).
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    _code_col(_sub_slice(j, dsub), books[j]).alias("cluster"),
+                    _sub_slice(j, dsub).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        ex = (
+            emb.select(F.explode(structs).alias("s"))
+            .select(
+                F.col("s.subspace").alias("subspace"),
+                F.col("s.cluster").alias("cluster"),
+                F.posexplode("s.sub").alias("pos", "v"),
+            )
+        )
+        rows = (
+            ex.groupBy("subspace", "cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+            .collect()
+        )
+        got = {(int(r["subspace"]), int(r["cluster"])) for r in rows}
+        if got != want:
+            raise ValueError(f"empty PQ cell(s) {sorted(want - got)}")
+        nxt = [[[0.0] * dsub for _ in range(ksub)] for _ in range(m)]
+        for r in rows:
+            nxt[int(r["subspace"])][int(r["cluster"])][int(r["pos"])] = float(r["c"])
+        books = nxt
+
+    # Final assignment sizes honor the same empty-cell contract as the
+    # iteration loop (an inner join against sizes would silently drop an
+    # emptied cell's codebook rows — the ivf_train lesson, ADVICE r4).
+    assign = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                _code_col(_sub_slice(j, dsub), books[j]).alias("cluster"),
+            )
+            for j in range(m)
+        ]
+    )
+    size_rows = (
+        emb.select(F.explode(assign).alias("s"))
+        .select(
+            F.col("s.subspace").alias("subspace"),
+            F.col("s.cluster").alias("cluster"),
+        )
+        .groupBy("subspace", "cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {(int(r["subspace"]), int(r["cluster"])) for r in size_rows}
+    if got != want:
+        raise ValueError(
+            f"empty PQ cell(s) after final assignment {sorted(want - got)}"
+        )
+    sizes = {
+        (int(r["subspace"]), int(r["cluster"])): int(r["n"]) for r in size_rows
+    }
+    return books, sizes, dsub
+
+
+def pq_train(
+    spark: SparkSession, sf_dir: str, m: int = 4, ksub: int = 4, n_iter: int = 2
+) -> DataFrame:
+    """Train the PQ codebooks and return them as one row per
+    (subspace, cluster, dimension-within-subspace) with the final cell
+    size: (subspace, cluster, n, pos, val), val rounded 6 dp. The exact
+    per-subspace analog of `similarity.ivf_train`'s output contract."""
+    books, sizes, dsub = _pq_fit(spark, sf_dir, m, ksub, n_iter)
+    cent_df = spark.createDataFrame(
+        [
+            (j, c, sizes[(j, c)], p, books[j][c][p])
+            for j in range(m)
+            for c in range(ksub)
+            for p in range(dsub)
+        ],
+        "subspace int, cluster int, n long, pos int, val double",
+    )
+    return cent_df.orderBy("subspace", "cluster", "pos")
+
+
+def pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> list[list[list[float]]]:
+    """Train the codebooks and materialize the ENCODED corpus: one parquet
+    table (vec_id, label, c0..c{m-1} smallint) — the at-scale storage form
+    (the float column does not survive into the codes table; production
+    params m=8..16/ksub<=256 make each row m*2 B vs dim*4 B of float32,
+    and parquet dictionary+RLE encodes the tiny code alphabet far below
+    even that). Encoding is MAP-ONLY: the codebook enters the plan as
+    folded literals; nothing shuffles. Returns the trained books so the
+    caller can serve ADC against the written table."""
+    books, _sizes, dsub = _pq_fit(spark, sf_dir, m, ksub, n_iter)
+    from miru_spark.pipeline.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    cols = [F.col("vec_id"), F.col("label")] + [
+        _code_col(_sub_slice(j, dsub), books[j]).cast("smallint").alias(f"c{j}")
+        for j in range(m)
+    ]
+    emb.select(*cols).write.mode("overwrite").parquet(out_dir)
+    return books
+
+
+def pq_topk_from_codes(
+    spark: SparkSession,
+    codes_path: str,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over a STORED codes table — the serving path the 100-TB
+    story actually runs (`pq_topk` re-derives codes inline so its gate is
+    self-contained; this form reads ONLY the m smallint code columns —
+    verify with explain(): ReadSchema carries no embedding column). The
+    query's m x ksub distance table folds at plan time; per-row work is m
+    literal-array lookups + 3 additions. Rank-identical to `pq_topk` on
+    the same corpus (pinned in tests/test_quantize.py)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(f"query dim {len(query_vec)} != m*dsub {m * dsub}")
+    codes = spark.read.parquet(codes_path)
+    adc_terms = []
+    for j in range(m):
+        qsub = F.array(
+            *[F.lit(float(query_vec[j * dsub + i])) for i in range(dsub)]
+        )
+        dist_arr = F.array(
+            *[
+                F.round(_sqdist_lit(qsub, books[j][c]), 9)
+                for c in range(len(books[j]))
+            ]
+        )
+        adc_terms.append(F.element_at(dist_arr, F.col(f"c{j}").cast("int") + 1))
+    adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
+    scored = codes.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "label", adc.alias("adc")
+    )
+    return ranked_topk(scored, k, "vec_id", F.asc("adc"), F.asc("vec_id")).select(
+        "vec_id", "label", "adc", "rank"
+    )
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """ADC top-k: train the codebooks, encode the corpus map-side (codebook
+    as folded literals), and rank by the asymmetric distance — for each
+    row, the sum over subspaces of the PRECOMPUTED query-to-centroid
+    distance selected by that row's code. The per-row work is m argmins
+    over folded literals plus m literal-array lookups; no per-row float
+    dot products, and at scale (codes stored at ingest) the scan would
+    read only m small int columns.
+
+    Approximate by construction: vectors sharing all m codes tie exactly
+    (adc identical), broken by vec_id asc — with the gate's tiny codebook
+    (4^4 = 256 combinations) ties are COMMON, which is exactly what makes
+    the tie contract worth pinning. Returns (vec_id, label, adc, rank),
+    adc ascending (it is a squared distance), query row excluded."""
+    from miru_spark.pipeline.similarity import _emb
+
+    books, _sizes, dsub = _pq_fit(spark, sf_dir, m, ksub, n_iter)
+    emb = _emb(spark, sf_dir)
+    q_rows = (
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+    q = [float(v) for v in q_rows[0]["embedding"]]
+
+    # ADC lookup table: for subspace j, a ksub-long literal array of
+    # round(sqdist(query_sub_j, centroid), 9). Both operands are literals,
+    # so Catalyst folds the whole table at plan time; indexing it by the
+    # row's code is the only per-row "distance" work.
+    adc_terms = []
+    for j in range(m):
+        qsub = F.array(*[F.lit(q[j * dsub + i]) for i in range(dsub)])
+        dist_arr = F.array(
+            *[F.round(_sqdist_lit(qsub, books[j][c]), 9) for c in range(ksub)]
+        )
+        code = _code_col(_sub_slice(j, dsub), books[j])
+        adc_terms.append(F.element_at(dist_arr, code + 1))
+    adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
+
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", adc.alias("adc"))
+    )
+    return ranked_topk(scored, k, "vec_id", F.asc("adc"), F.asc("vec_id")).select(
+        "vec_id", "label", "adc", "rank"
+    )

@@ -17,7 +17,7 @@ Op = Callable[[SparkSession, str], DataFrame]
 
 
 def pipeline_ops() -> dict[str, Op]:
-    from miru_spark.pipeline import dedup, similarity, text
+    from miru_spark.pipeline import dedup, quantize, similarity, text
 
     return {
         # dedup family
@@ -41,6 +41,8 @@ def pipeline_ops() -> dict[str, Op]:
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        "pq_train": quantize.pq_train,
+        "pq_topk": quantize.pq_topk,
         # text family
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,

@@ -1,0 +1,175 @@
+"""Product quantization: the distributed per-subspace Lloyd's + ADC program
+must reproduce an independent numpy re-implementation exactly (partitioning
+cannot leak in), honor the empty-cell fail-loud contract, and resolve
+quantization ties deterministically."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sfdir(sf_dir):
+    return sf_dir
+
+
+def _np_fit(X, m, ksub, n_iter):
+    """The quantize._pq_fit contract re-implemented serially: seeds = the
+    ksub smallest vec_ids' subvectors, argmin on 9-dp-rounded squared L2
+    (ties to the lower code), means rounded 6 dp."""
+    dim = X.shape[1]
+    dsub = dim // m
+    books, assigns = [], []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:ksub].copy()
+
+        def assign(C):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
+            return d.argmin(axis=1)
+
+        for _ in range(n_iter):
+            a = assign(C)
+            C = np.array([S[a == c].mean(axis=0).round(6) for c in range(ksub)])
+        books.append(C)
+        assigns.append(assign(C))
+    return books, assigns, dsub
+
+
+def _corpus(spark, sfdir):
+    rows = (
+        spark.read.parquet(f"{sfdir}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array(
+        [[float(v) for v in r["embedding"]] for r in rows], dtype=np.float64
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    labels = {int(r["vec_id"]): int(r["label"]) for r in rows}
+    return X, ids, labels
+
+
+def test_pq_train_matches_numpy(spark, sfdir):
+    from miru_spark.pipeline.quantize import pq_train
+
+    m, ksub, n_iter = 4, 4, 2
+    got = pq_train(spark, sfdir, m=m, ksub=ksub, n_iter=n_iter).collect()
+
+    X, _ids, _labels = _corpus(spark, sfdir)
+    books, assigns, dsub = _np_fit(X, m, ksub, n_iter)
+
+    assert len(got) == m * ksub * dsub
+    for r in got:
+        j, c, p = r["subspace"], r["cluster"], r["pos"]
+        assert r["n"] == int((assigns[j] == c).sum())
+        assert round(r["val"], 6) == round(float(books[j][c, p]), 6)
+    # every subspace partitions the whole corpus
+    for j in range(m):
+        assert sum(int((assigns[j] == c).sum()) for c in range(ksub)) == X.shape[0]
+
+
+def test_pq_topk_matches_numpy_adc(spark, sfdir):
+    from miru_spark.pipeline.quantize import pq_topk
+
+    m, ksub, n_iter, k = 4, 4, 2, 10
+    got = pq_topk(spark, sfdir, k=k, m=m, ksub=ksub, n_iter=n_iter).collect()
+
+    X, ids, labels = _corpus(spark, sfdir)
+    books, assigns, dsub = _np_fit(X, m, ksub, n_iter)
+    q = X[ids.index(0)]
+    scored = []
+    for i, vid in enumerate(ids):
+        if vid == 0:
+            continue
+        adc = round(
+            sum(
+                round(
+                    float(
+                        ((q[j * dsub : (j + 1) * dsub] - books[j][assigns[j][i]]) ** 2).sum()
+                    ),
+                    9,
+                )
+                for j in range(m)
+            ),
+            6,
+        )
+        scored.append((adc, vid))
+    scored.sort()
+    exp = scored[:k]
+
+    assert [r["rank"] for r in got] == list(range(1, k + 1))
+    assert [(r["adc"], r["vec_id"]) for r in got] == exp
+    for r in got:
+        assert r["label"] == labels[r["vec_id"]]
+
+
+def test_pq_topk_tie_contract(spark, sfdir):
+    """With the gate codebook (4^4 = 256 code combinations over 500
+    vectors) exact adc ties are expected; the result must be sorted by
+    (adc asc, vec_id asc) so the ordering is deterministic anyway."""
+    from miru_spark.pipeline.quantize import pq_topk
+
+    got = pq_topk(spark, sfdir, k=10).collect()
+    keys = [(r["adc"], r["vec_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_pq_from_codes_rank_identical_and_reads_only_codes(
+    spark, sfdir, tmp_path
+):
+    """The stored-codes serving form (the at-scale path) must be
+    rank-identical to the self-contained gate form, and its scan must read
+    ONLY the code columns — the whole point of PQ is that the float column
+    never enters the serving plan."""
+    from miru_spark.pipeline.quantize import pq_encode, pq_topk, pq_topk_from_codes
+
+    codes_dir = str(tmp_path / "codes")
+    books = pq_encode(spark, sfdir, codes_dir)
+    q = [
+        float(v)
+        for v in spark.read.parquet(f"{sfdir}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .collect()[0]["embedding"]
+    ]
+    from_codes = pq_topk_from_codes(spark, codes_dir, books, q, k=10)
+    inline = pq_topk(spark, sfdir, k=10).collect()
+    got = from_codes.collect()
+    assert [(r["vec_id"], r["adc"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["adc"], r["rank"]) for r in inline
+    ]
+    plan = from_codes._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan
+    # the codes table itself must not carry the float column at all
+    assert "embedding" not in spark.read.parquet(codes_dir).columns
+
+
+def test_pq_train_raises_on_indivisible_dim(spark, sfdir):
+    from miru_spark.pipeline.quantize import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(spark, sfdir, m=5)
+
+
+def test_pq_train_raises_on_empty_cell(spark, tmp_path):
+    """An all-identical corpus ties every assignment to code 0, emptying
+    codes 1..ksub-1 — the train must RAISE (fail loud), never emit a
+    codebook with silently-missing cells (the ivf_train lesson)."""
+    from pyspark.sql import types as T
+
+    from miru_spark.pipeline.quantize import pq_train
+
+    d = str(tmp_path / "flat")
+    vec = [1.0] * 64
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, vec, 0) for i in range(10)], schema
+    ).write.parquet(f"{d}/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty PQ cell"):
+        pq_train(spark, d)
