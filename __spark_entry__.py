@@ -752,6 +752,39 @@ QUALIFY rank <= {k} ORDER BY rank
 """
 
 
+def _pq_rerank_oracle_sql(k: int = 10, shortlist: int = 50, dim: int = 64) -> str:
+    """pq_rerank oracle: the shared Lloyd's prefix + ADC shortlist (top-C
+    by (adc asc, vec_id asc) — the tie cut is deterministic on both
+    engines) + exact squared-L2 re-rank over ONLY the shortlisted rows."""
+    return f"""{_pq_ctes()},
+q AS (SELECT subspace, sv AS qsv FROM sub WHERE vec_id = 0),
+dtab AS (
+  SELECT t.subspace, t.cluster,
+         round(sum((q.qsv[p.i] - t.c[p.i]) * (q.qsv[p.i] - t.c[p.i])), 9) AS d
+  FROM c2 t JOIN q ON t.subspace = q.subspace CROSS JOIN pos p
+  GROUP BY t.subspace, t.cluster),
+adcs AS (
+  SELECT a.vec_id, round(sum(dt.d), 6) AS adc
+  FROM a2 a JOIN dtab dt
+    ON a.subspace = dt.subspace AND a.cluster = dt.cluster
+  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rn
+    FROM adcs) WHERE rn <= {shortlist}),
+qf AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+posf AS (SELECT unnest(range(1, {dim + 1}))::INT AS i),
+rr AS (
+  SELECT e.vec_id, e.label,
+         round(sum((e.v[p.i] - qf.qv[p.i]) * (e.v[p.i] - qf.qv[p.i])), 6) AS d2
+  FROM e JOIN short USING (vec_id) CROSS JOIN qf CROSS JOIN posf p
+  GROUP BY e.vec_id, e.label)
+SELECT vec_id, label, d2,
+       row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rank
+FROM rr QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
 # shingle CTE shared by ngram/minhash oracles (3-token shingles, distinct)
 _SHINGLE_CTE = f"""
 tokarr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -910,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full unrolled-SQL value-hash oracles (_pq_ctes)
         "pq_train": quantize.pq_train,
         "pq_topk": quantize.pq_topk,
+        # ADC shortlist -> exact re-rank (the standard PQ serving
+        # composition — repairs raw ADC's tie degeneracy)
+        "pq_rerank": quantize.pq_rerank_topk,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -1691,6 +1727,7 @@ FROM flat GROUP BY lang ORDER BY lang
         "ivf_train": _ivf_train_oracle_sql(),
         "pq_train": _pq_train_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        "pq_rerank": _pq_rerank_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

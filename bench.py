@@ -133,8 +133,9 @@ def main() -> None:
         "ft_bm25_porter_en", "catwalk_saved_model", "strut_scores_saved",
         "epoch_write_audit", "lsh_ann_recall",
         # product quantization: per-subspace codebook training + ADC top-k
-        # over map-only codes (the bytes-per-vector scale path)
-        "pq_train", "pq_topk",
+        # over map-only codes (the bytes-per-vector scale path) + the
+        # shortlist->exact-rerank serving composition
+        "pq_train", "pq_topk", "pq_rerank",
     ]
     qmap = entry.queries()
     for name in headline:

@@ -37,10 +37,15 @@ Scale shape:
   stored table column (like `build_bucketed_embeddings` stores buckets);
   the gate form trains + encodes in one invocation for a self-contained
   oracle.
-- SERVE (ADC): the m x ksub distance table is computed from the query at
-  plan time (constant-folded literals — ksub*m*dsub double ops on the
-  driver-side plan, zero per-row float math), the scan reads only codes,
-  and top-k is TakeOrderedAndProject. No shuffle beyond the k-row merge.
+- SERVE (ADC): the m x ksub distance table is computed DRIVER-SIDE from
+  the query (`_adc_table` — bitwise-pinned to Spark's own arithmetic;
+  Catalyst neither constant-folds HOF aggregates nor analyzes m*ksub of
+  them cheaply) and enters the plan as plain literals, so the scan reads
+  only codes and does only array lookups; top-k is
+  TakeOrderedAndProject. No shuffle beyond the k-row merge. Raw ADC
+  top-k degrades to ~arbitrary under code-tie degeneracy, so the served
+  form is `pq_rerank_*`: ADC shortlist -> exact re-rank over only the
+  shortlisted rows.
 - Composition: partition the corpus by `ivf_train`'s coarse cells and
   PQ-encode residuals per cell for IVF-PQ — the coarse cell prunes the
   scan (see `lsh_ann_partitioned`'s PartitionFilters story), PQ prunes
@@ -223,6 +228,69 @@ def pq_train(
     return cent_df.orderBy("subspace", "cluster", "pos")
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's ROUND for doubles, exactly: BigDecimal.valueOf(x) takes the
+    SHORTEST decimal representation (== Python repr), then HALF_UP at nd
+    places. Python's builtin round() is banker's AND operates on the full
+    binary expansion — both differences matter at boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
+def _adc_table(
+    spark: SparkSession,
+    books: list[list[list[float]]],
+    q: list[float],
+    dsub: int,
+) -> list[list[float]]:
+    """The m x ksub query-to-centroid distance table, computed DRIVER-SIDE
+    with bit-identical semantics to the in-plan form: a left-fold of
+    (x-y)*(x-y) in element order (exactly ``aggregate(zip_with(...))``'s
+    evaluation order — IEEE double ops are deterministic, so same inputs
+    + same order = same bits) rounded with Spark's own HALF_UP-on-
+    shortest-decimal rule (`_round_half_up`). Identity to the Spark
+    evaluation is pinned in tests/test_quantize.py.
+
+    Why not evaluate in Spark: Catalyst neither constant-folds HOF
+    aggregates (in-plan, every row re-evaluated all m*ksub folds —
+    measured 13x slower than the exact float scan at 1M) nor analyzes 128
+    nested HOF expressions cheaply (a 1-row hoist job still cost ~8 s of
+    pure plan analysis/codegen per query — the ENTIRE serving wall; the
+    1M code scan itself is sub-second). m*ksub*dsub driver float ops is
+    the right venue. ``spark`` stays in the signature for API stability."""
+    del spark  # driver-side on purpose; see docstring
+    table = []
+    for j, book in enumerate(books):
+        qsub = [float(q[j * dsub + i]) for i in range(dsub)]
+        row = []
+        for cent in book:
+            acc = 0.0
+            for x, y in zip(qsub, cent):
+                acc = acc + (x - y) * (x - y)
+            row.append(_round_half_up(acc, 9))
+        table.append(row)
+    return table
+
+
+def _rerank_exact(
+    emb: DataFrame, q: list[float], ids: list[int], k: int
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a BOUNDED candidate id list against the
+    float column: the isin filter reaches the parquet scan (row-group
+    pruning at scale — the scorer._docmeta_for lesson: never materialize
+    dense per-corpus state for a selective read)."""
+    d2 = F.round(_sqdist_lit(F.col("embedding"), q), 6)
+    scored = emb.filter(F.col("vec_id").isin(ids)).select(
+        "vec_id", "label", d2.alias("d2")
+    )
+    return ranked_topk(scored, k, "vec_id", F.asc("d2"), F.asc("vec_id")).select(
+        "vec_id", "label", "d2", "rank"
+    )
+
+
 def pq_encode(
     spark: SparkSession,
     sf_dir: str,
@@ -263,26 +331,23 @@ def pq_topk_from_codes(
     story actually runs (`pq_topk` re-derives codes inline so its gate is
     self-contained; this form reads ONLY the m smallint code columns —
     verify with explain(): ReadSchema carries no embedding column). The
-    query's m x ksub distance table folds at plan time; per-row work is m
-    literal-array lookups + 3 additions. Rank-identical to `pq_topk` on
-    the same corpus (pinned in tests/test_quantize.py)."""
+    query's m x ksub distance table is computed driver-side (`_adc_table`)
+    and enters as plain literals; per-row work is m literal-array lookups
+    + m-1 additions. Rank-identical to `pq_topk` on the same corpus
+    (pinned in tests/test_quantize.py)."""
     m = len(books)
     dsub = len(books[0][0])
     if len(query_vec) != m * dsub:
         raise ValueError(f"query dim {len(query_vec)} != m*dsub {m * dsub}")
     codes = spark.read.parquet(codes_path)
-    adc_terms = []
-    for j in range(m):
-        qsub = F.array(
-            *[F.lit(float(query_vec[j * dsub + i])) for i in range(dsub)]
+    dtab = _adc_table(spark, books, [float(v) for v in query_vec], dsub)
+    adc_terms = [
+        F.element_at(
+            F.array(*[F.lit(v) for v in dtab[j]]),
+            F.col(f"c{j}").cast("int") + 1,
         )
-        dist_arr = F.array(
-            *[
-                F.round(_sqdist_lit(qsub, books[j][c]), 9)
-                for c in range(len(books[j]))
-            ]
-        )
-        adc_terms.append(F.element_at(dist_arr, F.col(f"c{j}").cast("int") + 1))
+        for j in range(m)
+    ]
     adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
     scored = codes.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", "label", adc.alias("adc")
@@ -325,18 +390,16 @@ def pq_topk(
         raise ValueError(f"query vec_id {query_vec_id} not in corpus")
     q = [float(v) for v in q_rows[0]["embedding"]]
 
-    # ADC lookup table: for subspace j, a ksub-long literal array of
-    # round(sqdist(query_sub_j, centroid), 9). Both operands are literals,
-    # so Catalyst folds the whole table at plan time; indexing it by the
-    # row's code is the only per-row "distance" work.
+    # ADC lookup table hoisted out of the per-row plan (_adc_table) —
+    # indexing the plain-literal array by the row's code is the only
+    # per-row "distance" work beyond the argmin encode.
+    dtab = _adc_table(spark, books, q, dsub)
     adc_terms = []
     for j in range(m):
-        qsub = F.array(*[F.lit(q[j * dsub + i]) for i in range(dsub)])
-        dist_arr = F.array(
-            *[F.round(_sqdist_lit(qsub, books[j][c]), 9) for c in range(ksub)]
-        )
         code = _code_col(_sub_slice(j, dsub), books[j])
-        adc_terms.append(F.element_at(dist_arr, code + 1))
+        adc_terms.append(
+            F.element_at(F.array(*[F.lit(v) for v in dtab[j]]), code + 1)
+        )
     adc = F.round(sum(adc_terms[1:], adc_terms[0]), 6)
 
     scored = (
@@ -346,3 +409,62 @@ def pq_topk(
     return ranked_topk(scored, k, "vec_id", F.asc("adc"), F.asc("vec_id")).select(
         "vec_id", "label", "adc", "rank"
     )
+
+
+def pq_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """ADC-shortlist -> exact re-rank: the standard PQ serving composition
+    (Jegou et al. 2011 use PQ to shortlist, floats to finish). The codes
+    prune the corpus to `shortlist` candidates (reading only code columns
+    at scale), the float column is then read for ONLY those rows
+    (bounded isin -> row-group pruning), and exact squared L2 decides the
+    final top-k. This is what repairs raw ADC's tie degeneracy: with a
+    tiny codebook thousands of vectors share a code combination and tie
+    exactly, so raw ADC top-k is ~arbitrary within the best cells, while
+    the re-ranked form recovers true neighbors whose cells reached the
+    shortlist. Returns (vec_id, label, d2, rank)."""
+    from miru_spark.pipeline.similarity import _emb
+
+    adc_df = pq_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=shortlist,
+        m=m, ksub=ksub, n_iter=n_iter,
+    )
+    ids = [r["vec_id"] for r in adc_df.collect()]  # bounded: `shortlist` rows
+    emb = _emb(spark, sf_dir)
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    return _rerank_exact(emb, q, ids, k)
+
+
+def pq_rerank_from_codes(
+    spark: SparkSession,
+    codes_path: str,
+    emb_parquet: str,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 1000,
+) -> DataFrame:
+    """The stored-codes form of the shortlist -> re-rank composition (what
+    a 100-TB deployment serves): ADC over the codes table produces the
+    bounded candidate list; the float table is touched only for those ids."""
+    adc_df = pq_topk_from_codes(
+        spark, codes_path, books, query_vec, query_vec_id=query_vec_id,
+        k=shortlist,
+    )
+    ids = [r["vec_id"] for r in adc_df.collect()]
+    emb = spark.read.parquet(emb_parquet)
+    return _rerank_exact(emb, [float(v) for v in query_vec], ids, k)

@@ -43,6 +43,7 @@ def pipeline_ops() -> dict[str, Op]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "pq_train": quantize.pq_train,
         "pq_topk": quantize.pq_topk,
+        "pq_rerank": quantize.pq_rerank_topk,
         # text family
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,

@@ -144,6 +144,103 @@ def test_pq_from_codes_rank_identical_and_reads_only_codes(
     assert "embedding" not in spark.read.parquet(codes_dir).columns
 
 
+def test_pq_rerank_matches_numpy_and_beats_raw_adc(spark, sfdir):
+    """The shortlist -> exact-rerank composition must (a) match a serial
+    numpy re-implementation exactly and (b) recover true neighbors raw ADC
+    loses to tie degeneracy: rerank recall@10 vs the exact L2 top-10 must
+    be >= raw ADC's."""
+    from miru_spark.pipeline.quantize import pq_rerank_topk, pq_topk
+
+    m, ksub, n_iter, k, C = 4, 4, 2, 10, 50
+    got = pq_rerank_topk(
+        spark, sfdir, k=k, shortlist=C, m=m, ksub=ksub, n_iter=n_iter
+    ).collect()
+
+    X, ids, labels = _corpus(spark, sfdir)
+    books, assigns, dsub = _np_fit(X, m, ksub, n_iter)
+    q = X[ids.index(0)]
+    adc_scored = []
+    for i, vid in enumerate(ids):
+        if vid == 0:
+            continue
+        adc = round(
+            sum(
+                round(
+                    float(
+                        ((q[j * dsub : (j + 1) * dsub] - books[j][assigns[j][i]]) ** 2).sum()
+                    ),
+                    9,
+                )
+                for j in range(m)
+            ),
+            6,
+        )
+        adc_scored.append((adc, vid))
+    adc_scored.sort()
+    short = [vid for _, vid in adc_scored[:C]]
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    rr = sorted(
+        (round(float(((X[idx_of[vid]] - q) ** 2).sum()), 6), vid) for vid in short
+    )[:k]
+    assert [(r["d2"], r["vec_id"]) for r in got] == rr
+
+    # exact ground truth over the whole corpus
+    exact = sorted(
+        (round(float(((X[i] - q) ** 2).sum()), 6), vid)
+        for i, vid in enumerate(ids)
+        if vid != 0
+    )[:k]
+    exact_ids = {vid for _, vid in exact}
+    rerank_recall = len({vid for _, vid in rr} & exact_ids) / k
+    adc_ids = {r["vec_id"] for r in pq_topk(spark, sfdir, k=k).collect()}
+    adc_recall = len(adc_ids & exact_ids) / k
+    assert rerank_recall >= adc_recall
+
+
+def test_adc_table_bitwise_matches_spark_evaluation(spark, sfdir):
+    """_adc_table computes the distance table driver-side; its contract is
+    BITWISE identity with evaluating the same `_sqdist_lit` + round(9)
+    expressions in Spark (same inputs, same IEEE op order, same HALF_UP
+    rounding). Pin it — any drift here would silently shift ADC ranks away
+    from the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.pipeline.quantize import (
+        _adc_table,
+        _pq_fit,
+        _round_half_up,
+        _sqdist_lit,
+    )
+
+    books, _sizes, dsub = _pq_fit(spark, sfdir, 4, 4, 2)
+    q = [
+        float(v)
+        for v in spark.read.parquet(f"{sfdir}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .collect()[0]["embedding"]
+    ]
+    dtab = _adc_table(spark, books, q, dsub)
+    exprs = []
+    for j, book in enumerate(books):
+        qsub = F.array(*[F.lit(float(q[j * dsub + i])) for i in range(dsub)])
+        for c, cent in enumerate(book):
+            exprs.append(F.round(_sqdist_lit(qsub, cent), 9).alias(f"d_{j}_{c}"))
+    row = spark.range(1).select(*exprs).collect()[0]
+    for j, book in enumerate(books):
+        for c in range(len(book)):
+            assert dtab[j][c] == row[f"d_{j}_{c}"], (j, c)
+
+    # the rounding rule itself, at an exact half boundary where Python's
+    # banker's round would disagree (2.5e-9 -> banker's 2e-9, HALF_UP 3e-9)
+    spark_rounded = spark.range(1).select(
+        F.round(F.lit(2.5e-9), 9).alias("r")
+    ).collect()[0]["r"]
+    assert _round_half_up(2.5e-9, 9) == spark_rounded == 3e-9
+    # the builtin's banker's rule genuinely drifts from Spark at exactly-
+    # representable halves (0.5 is exact in binary; 2.5e-9 is not)
+    assert _round_half_up(0.5, 0) == 1.0 and round(0.5, 0) == 0.0
+
+
 def test_pq_train_raises_on_indivisible_dim(spark, sfdir):
     from miru_spark.pipeline.quantize import pq_train
 

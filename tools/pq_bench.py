@@ -11,10 +11,13 @@ only the code columns. This records exactly that, end to end:
   populated), written as a plain embeddings.parquet (untimed).
 - timed: (1) codebook training (`_pq_fit`, production-ish m=8/ksub=16 by
   default — 2 corpus scans, one m*ksub*dsub-row exchange per iteration);
-  (2) encode+write of the codes table (map-only); (3) ADC top-k served
-  from the STORED codes (`pq_topk_from_codes`) vs (4) the exact
-  squared-L2 scan over the float column — same metric, so the wall ratio
-  is scan-bytes honesty and recall@k is measurable, both recorded.
+  (2) encode+write of the codes table (map-only); (3) raw ADC top-k from
+  the STORED codes (`pq_topk_from_codes`); (4) the shortlist->exact-
+  rerank composition (`pq_rerank_from_codes` — the form actually served);
+  (5) the exact squared-L2 scan over the float column — same metric, so
+  wall ratios are scan-bytes honesty and recall@k is measurable for both
+  PQ forms (raw ADC's recall collapses under code-tie degeneracy by
+  construction; the rerank number is the one that matters).
 - evidence: du -sb of codes vs embeddings parquet (the compression the
   docstring promises), the executed ADC plan containing no `embedding`
   column, and recall@k of ADC against the exact L2 top-k.
@@ -99,6 +102,7 @@ def main() -> None:
     ap.add_argument("--ksub", type=int, default=16)
     ap.add_argument("--n-iter", type=int, default=2)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--shortlist", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--parts", type=int, default=64)
     ap.add_argument("--cores", type=int, default=32)
@@ -111,7 +115,7 @@ def main() -> None:
     from miru_spark.pipeline.quantize import (
         _pq_fit,
         _sqdist_lit,
-        pq_encode,
+        pq_rerank_from_codes,
         pq_topk_from_codes,
     )
     from miru_spark.session import get_spark
@@ -170,20 +174,28 @@ def main() -> None:
     ]
     qlit = F.array(*[F.lit(v) for v in q])
 
-    # 3. ADC from stored codes vs exact L2 float scan, same metric ------------
-    adc_walls, exact_walls = [], []
-    adc_ids = exact_ids = None
+    # 3. serving: raw ADC, ADC-shortlist->rerank, exact L2 scan — same metric
+    emb_parquet = os.path.join(sf_dir, "embeddings.parquet")
+    adc_walls, rerank_walls, exact_walls = [], [], []
+    adc_ids = rerank_ids = exact_ids = None
     for _ in range(args.reps):
         t0 = time.perf_counter()
         adc_df = pq_topk_from_codes(spark, codes_dir, books, q, k=args.k)
-        adc_rows = adc_df.collect()
+        adc_ids = [r["vec_id"] for r in adc_df.collect()]
         adc_walls.append(round(time.perf_counter() - t0, 2))
-        adc_ids = [r["vec_id"] for r in adc_rows]
+
+        t0 = time.perf_counter()
+        rr_df = pq_rerank_from_codes(
+            spark, codes_dir, emb_parquet, books, q,
+            k=args.k, shortlist=args.shortlist,
+        )
+        rerank_ids = [r["vec_id"] for r in rr_df.collect()]
+        rerank_walls.append(round(time.perf_counter() - t0, 2))
 
         t0 = time.perf_counter()
         d2 = F.round(_sqdist_lit(F.col("embedding"), q), 6)
         exact = ranked_topk(
-            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            spark.read.parquet(emb_parquet)
             .filter(F.col("vec_id") != 0)
             .select("vec_id", d2.alias("d2")),
             args.k,
@@ -194,12 +206,16 @@ def main() -> None:
         exact_walls.append(round(time.perf_counter() - t0, 2))
         exact_ids = [r["vec_id"] for r in exact]
 
+    out["shortlist"] = args.shortlist
     out["adc_walls_s"] = adc_walls
+    out["rerank_walls_s"] = rerank_walls
     out["exact_scan_walls_s"] = exact_walls
     out["adc_min_s"] = min(adc_walls)
+    out["rerank_min_s"] = min(rerank_walls)
     out["exact_min_s"] = min(exact_walls)
-    out["recall_at_k"] = round(
-        len(set(adc_ids) & set(exact_ids)) / args.k, 3
+    out["adc_recall_at_k"] = round(len(set(adc_ids) & set(exact_ids)) / args.k, 3)
+    out["rerank_recall_at_k"] = round(
+        len(set(rerank_ids) & set(exact_ids)) / args.k, 3
     )
 
     plan = (
