@@ -654,13 +654,14 @@ FROM cent JOIN sizes USING (cluster) ORDER BY cluster, pos
 """
 
 
-def _pq_ctes(m: int = 4, ksub: int = 4, dsub: int = 16) -> str:
-    """Shared CTE prefix for the PQ oracles: the ENTIRE 2-iteration
-    per-subspace deterministic Lloyd's program in SQL, ending at c2 (final
-    codebooks) and a2 (final per-(vec, subspace) code assignment). Mirrors
-    `pipeline/quantize._pq_fit`'s contract exactly — same seeds rule, same
-    9-dp round-before-argmin, same 6-dp-rounded means — which is the
-    _ivf_train_oracle_sql protocol extended with a subspace key."""
+def _pq_chain(ksub: int = 4) -> str:
+    """CTE fragment for one 2-iteration per-subspace deterministic Lloyd's
+    run (seeds .. a2), assuming CTEs `sub` (vec_id, subspace, sv) and `pos`
+    (i) exist. Mirrors `pipeline/quantize._pq_fit_df`'s contract exactly —
+    same seeds rule, same 9-dp round-before-argmin, same 6-dp-rounded
+    means — which is the _ivf_train_oracle_sql protocol extended with a
+    subspace key. Shared by the flat-PQ (_pq_ctes) and IVF-PQ
+    (_ivfpq_ctes, over residual subvectors) oracles."""
 
     def dist(cent_cte: str) -> str:
         return (
@@ -689,13 +690,7 @@ def _pq_ctes(m: int = 4, ksub: int = 4, dsub: int = 16) -> str:
             f" GROUP BY subspace, cluster"
         )
 
-    return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-js AS (SELECT unnest(range(0, {m}))::INT AS j),
-sub AS (SELECT vec_id, j AS subspace, v[j*{dsub}+1 : j*{dsub}+{dsub}] AS sv
-        FROM e, js),
-pos AS (SELECT unnest(range(1, {dsub + 1}))::INT AS i),
-seeds AS (
+    return f"""seeds AS (
   SELECT subspace, rn - 1 AS cluster, sv AS c FROM (
     SELECT subspace, sv,
            row_number() OVER (PARTITION BY subspace ORDER BY vec_id) AS rn
@@ -708,6 +703,84 @@ a1 AS ({argmin('d1')}),
 c2 AS ({update('a1')}),
 d2 AS ({dist('c2')}),
 a2 AS ({argmin('d2')})"""
+
+
+def _pq_ctes(m: int = 4, ksub: int = 4, dsub: int = 16) -> str:
+    """Shared CTE prefix for the flat-PQ oracles: the ENTIRE 2-iteration
+    per-subspace deterministic Lloyd's program in SQL (`_pq_chain`) over
+    the raw embedding subvectors, ending at c2 (final codebooks) and a2
+    (final per-(vec, subspace) code assignment)."""
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+js AS (SELECT unnest(range(0, {m}))::INT AS j),
+sub AS (SELECT vec_id, j AS subspace, v[j*{dsub}+1 : j*{dsub}+{dsub}] AS sv
+        FROM e, js),
+pos AS (SELECT unnest(range(1, {dsub + 1}))::INT AS i),
+{_pq_chain(ksub)}"""
+
+
+def _ivfpq_ctes(
+    kc: int = 4, m: int = 4, ksub: int = 4, dsub: int = 16, dim: int = 64
+) -> str:
+    """Shared CTE prefix for the IVF-PQ oracles: the coarse 2-iteration
+    Lloyd's over FULL vectors (cseeds..ca2, the _ivf_train_oracle_sql
+    protocol), residual computation r = x - centroid[cell] (exact IEEE
+    subtraction of identical doubles — no extra rounding, matching
+    `quantize._residuals`), then the per-subspace PQ chain (`_pq_chain`)
+    over the residual subvectors. Ends at: cc2/ca2 (coarse codebook +
+    assignment), res (vec_id, label, cell, rv), c2/a2 (residual PQ
+    codebook + codes)."""
+
+    def cdist(cent_cte: str) -> str:
+        return (
+            f"SELECT e.vec_id, s.cluster,"
+            f" round(sum((e.v[p.i] - s.c[p.i]) * (e.v[p.i] - s.c[p.i])), 9) AS d"
+            f" FROM e CROSS JOIN fpos p CROSS JOIN {cent_cte} s"
+            f" GROUP BY e.vec_id, s.cluster"
+        )
+
+    def cargmin(d_cte: str) -> str:
+        return (
+            f"SELECT vec_id, cluster FROM ("
+            f" SELECT vec_id, cluster,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn"
+            f" FROM {d_cte}) WHERE rn = 1"
+        )
+
+    def cupdate(a_cte: str) -> str:
+        return (
+            f"SELECT cluster, list(m ORDER BY i) AS c FROM ("
+            f" SELECT {a_cte}.cluster AS cluster, p.i AS i,"
+            f" round(avg(e.v[p.i]), 6) AS m"
+            f" FROM e JOIN {a_cte} USING (vec_id) CROSS JOIN fpos p"
+            f" GROUP BY {a_cte}.cluster, p.i)"
+            f" GROUP BY cluster"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+fpos AS (SELECT unnest(range(1, {dim + 1}))::INT AS i),
+cseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM e ORDER BY vec_id LIMIT {kc}),
+cd0 AS ({cdist('cseeds')}),
+ca0 AS ({cargmin('cd0')}),
+cc1 AS ({cupdate('ca0')}),
+cd1 AS ({cdist('cc1')}),
+ca1 AS ({cargmin('cd1')}),
+cc2 AS ({cupdate('ca1')}),
+cd2 AS ({cdist('cc2')}),
+ca2 AS ({cargmin('cd2')}),
+res AS (
+  SELECT e.vec_id, e.label, ca2.cluster AS cell,
+         list(e.v[p.i] - cc.c[p.i] ORDER BY p.i) AS rv
+  FROM e JOIN ca2 USING (vec_id) JOIN cc2 cc ON ca2.cluster = cc.cluster
+  CROSS JOIN fpos p GROUP BY e.vec_id, e.label, ca2.cluster),
+js AS (SELECT unnest(range(0, {m}))::INT AS j),
+sub AS (SELECT vec_id, j AS subspace, rv[j*{dsub}+1 : j*{dsub}+{dsub}] AS sv
+        FROM res, js),
+pos AS (SELECT unnest(range(1, {dsub + 1}))::INT AS i),
+{_pq_chain(ksub)}"""
 
 
 def _pq_train_oracle_sql() -> str:
@@ -778,6 +851,74 @@ rr AS (
   SELECT e.vec_id, e.label,
          round(sum((e.v[p.i] - qf.qv[p.i]) * (e.v[p.i] - qf.qv[p.i])), 6) AS d2
   FROM e JOIN short USING (vec_id) CROSS JOIN qf CROSS JOIN posf p
+  GROUP BY e.vec_id, e.label)
+SELECT vec_id, label, d2,
+       row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rank
+FROM rr QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
+def _ivfpq_probe_ctes(nprobe: int = 2, dsub: int = 16) -> str:
+    """Query-side CTE fragment shared by the IVF-PQ serving oracles (needs
+    `_ivfpq_ctes` before it): probe the nprobe nearest coarse cells
+    (9-dp-rounded squared L2, ties to the lower cell — `_probe_cells`'s
+    contract), build the query's per-cell RESIDUAL, and the per-(cell,
+    subspace, cluster) ADC distance table. Ends at adcs: per-vector ADC
+    over rows whose cell was probed (the dtab join restricts to probed
+    cells, mirroring Spark's isin filter)."""
+    return f"""qv AS (SELECT v FROM e WHERE vec_id = 0),
+cpd AS (
+  SELECT cc.cluster,
+         round(sum((q.v[p.i] - cc.c[p.i]) * (q.v[p.i] - cc.c[p.i])), 9) AS d
+  FROM cc2 cc CROSS JOIN qv q CROSS JOIN fpos p GROUP BY cc.cluster),
+cprobe AS (SELECT cluster FROM cpd ORDER BY d, cluster LIMIT {nprobe}),
+qres AS (
+  SELECT cc.cluster AS cell, list(q.v[p.i] - cc.c[p.i] ORDER BY p.i) AS qrv
+  FROM cc2 cc JOIN cprobe USING (cluster) CROSS JOIN qv q CROSS JOIN fpos p
+  GROUP BY cc.cluster),
+qsub AS (SELECT cell, j AS subspace, qrv[j*{dsub}+1 : j*{dsub}+{dsub}] AS qsv
+         FROM qres, js),
+dtab AS (
+  SELECT qs.cell, t.subspace, t.cluster,
+         round(sum((qs.qsv[p.i] - t.c[p.i]) * (qs.qsv[p.i] - t.c[p.i])), 9) AS d
+  FROM c2 t JOIN qsub qs ON t.subspace = qs.subspace CROSS JOIN pos p
+  GROUP BY qs.cell, t.subspace, t.cluster),
+adcs AS (
+  SELECT a.vec_id, round(sum(dt.d), 6) AS adc
+  FROM a2 a JOIN res r ON a.vec_id = r.vec_id
+  JOIN dtab dt ON r.cell = dt.cell
+    AND a.subspace = dt.subspace AND a.cluster = dt.cluster
+  WHERE a.vec_id <> 0 GROUP BY a.vec_id)"""
+
+
+def _ivfpq_topk_oracle_sql(k: int = 10) -> str:
+    """ivfpq_topk oracle: the ENTIRE IVF-PQ program in SQL — coarse
+    Lloyd's, residuals, residual-PQ Lloyd's (`_ivfpq_ctes`), probe + ADC
+    over probed cells only (`_ivfpq_probe_ctes`), top-k by (adc asc,
+    vec_id asc)."""
+    return f"""{_ivfpq_ctes()},
+{_ivfpq_probe_ctes()}
+SELECT adcs.vec_id AS vec_id, e.label AS label, adcs.adc AS adc,
+       row_number() OVER (ORDER BY adcs.adc ASC, adcs.vec_id ASC) AS rank
+FROM adcs JOIN e USING (vec_id)
+QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
+def _ivfpq_rerank_oracle_sql(k: int = 10, shortlist: int = 50) -> str:
+    """ivfpq_rerank oracle: the probed-ADC shortlist (deterministic
+    (adc, vec_id) cut) + exact squared-L2 re-rank over ONLY the
+    shortlisted rows' float vectors."""
+    return f"""{_ivfpq_ctes()},
+{_ivfpq_probe_ctes()},
+short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rn
+    FROM adcs) WHERE rn <= {shortlist}),
+rr AS (
+  SELECT e.vec_id, e.label,
+         round(sum((e.v[p.i] - q.v[p.i]) * (e.v[p.i] - q.v[p.i])), 6) AS d2
+  FROM e JOIN short USING (vec_id) CROSS JOIN qv q CROSS JOIN fpos p
   GROUP BY e.vec_id, e.label)
 SELECT vec_id, label, d2,
        row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rank
@@ -946,6 +1087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ADC shortlist -> exact re-rank (the standard PQ serving
         # composition — repairs raw ADC's tie degeneracy)
         "pq_rerank": quantize.pq_rerank_topk,
+        # IVF-PQ: coarse cells + residual codes; serving scans only the
+        # nprobe probed cells (PartitionFilters in the stored form)
+        "ivfpq_topk": quantize.ivfpq_topk,
+        "ivfpq_rerank": quantize.ivfpq_rerank_topk,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -1728,6 +1873,8 @@ FROM flat GROUP BY lang ORDER BY lang
         "pq_train": _pq_train_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
         "pq_rerank": _pq_rerank_oracle_sql(),
+        "ivfpq_topk": _ivfpq_topk_oracle_sql(),
+        "ivfpq_rerank": _ivfpq_rerank_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

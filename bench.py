@@ -136,6 +136,8 @@ def main() -> None:
         # over map-only codes (the bytes-per-vector scale path) + the
         # shortlist->exact-rerank serving composition
         "pq_train", "pq_topk", "pq_rerank",
+        # IVF-PQ: coarse cells + residual codes, probed-cell serving
+        "ivfpq_topk", "ivfpq_rerank",
     ]
     qmap = entry.queries()
     for name in headline:

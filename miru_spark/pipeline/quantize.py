@@ -46,10 +46,15 @@ Scale shape:
   top-k degrades to ~arbitrary under code-tie degeneracy, so the served
   form is `pq_rerank_*`: ADC shortlist -> exact re-rank over only the
   shortlisted rows.
-- Composition: partition the corpus by `ivf_train`'s coarse cells and
-  PQ-encode residuals per cell for IVF-PQ — the coarse cell prunes the
-  scan (see `lsh_ann_partitioned`'s PartitionFilters story), PQ prunes
-  the bytes.
+- Composition (IVF-PQ, `ivfpq_*`): assign each vector to one of ``kc``
+  coarse Lloyd's cells (`similarity._ivf_fit`), PQ-encode the RESIDUAL
+  x - centroid[cell], and store codes cell-PARTITIONED. Serving probes
+  the ``nprobe`` nearest cells only: the coarse cell prunes the SCAN
+  (hive partition dirs -> PartitionFilters, the `lsh_ann_partitioned`
+  story), PQ prunes the BYTES (code columns only), and each probed cell
+  gets its own driver-side ADC table built from the query's residual
+  against that cell's centroid. This is the standard billion-scale ANN
+  layout (FAISS IVFPQ; Jegou et al. 2011 §V).
 
 Reference analog: none — the reference engine has no vector tier
 (VERDICT r2); this extends the similarity tier's scale story downward in
@@ -124,6 +129,16 @@ def _pq_fit(
     emb = scoped_cache(
         _emb(spark, sf_dir).select("vec_id", "embedding"), "pq_train_emb"
     )
+    return _pq_fit_df(emb, m, ksub, n_iter)
+
+
+def _pq_fit_df(
+    emb: DataFrame, m: int, ksub: int, n_iter: int
+) -> tuple[list[list[list[float]]], dict[tuple[int, int], int], int]:
+    """`_pq_fit` over an explicit (vec_id, embedding) DataFrame — the form
+    the IVF-PQ composition trains on (its "embedding" column holds coarse
+    RESIDUALS). The caller must cache ``emb``: the loop scans it
+    n_iter+2 times (seeds, per-iteration update, final sizes)."""
     seed_rows = emb.orderBy("vec_id").limit(ksub).collect()
     if len(seed_rows) < ksub:
         raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
@@ -468,3 +483,239 @@ def pq_rerank_from_codes(
     ids = [r["vec_id"] for r in adc_df.collect()]
     emb = spark.read.parquet(emb_parquet)
     return _rerank_exact(emb, [float(v) for v in query_vec], ids, k)
+
+
+# ---- IVF-PQ: coarse cells + residual codes (Jegou et al. 2011 §V) ----
+
+
+def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, label, cell, embedding=RESIDUAL double array): each row's
+    coarse cell (argmin over the kc folded-literal centroids, the
+    `similarity._assign_col` contract) and x - centroid[cell]. Two chained
+    projections so the cell argmin is evaluated once, not re-embedded in
+    the residual expression (the CollapseProject/when-chain lesson).
+    Subtraction of identical doubles is exact IEEE on both engines, so no
+    extra rounding is needed on the residual itself — the PQ chain's
+    9-dp round-before-argmin absorbs downstream sum-order noise."""
+    from miru_spark.pipeline.similarity import _assign_col
+
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    with_cell = emb.select(
+        "vec_id", "label", "embedding", _assign_col(cents).alias("cell")
+    )
+    resid = F.zip_with(
+        F.col("embedding"),
+        F.element_at(cents_lit, F.col("cell") + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    return with_cell.select("vec_id", "label", "cell", resid.alias("embedding"))
+
+
+def _ivfpq_fit(
+    spark: SparkSession, sf_dir: str, kc: int, m: int, ksub: int, n_iter: int
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]], DataFrame, int]:
+    """Train the full IVF-PQ index: coarse Lloyd's over the embeddings
+    (kc cells), then per-subspace PQ Lloyd's over the RESIDUALS — both on
+    the shared deterministic contract (seeds = smallest vec_ids, 9-dp
+    round-before-argmin, 6-dp means, fail-loud empty cells), which is what
+    keeps the whole composition exactly SQL-expressible. Returns
+    (emb, coarse_cents, books, residual_df, dsub); emb and residual_df are
+    scope-cached (the Lloyd's loops scan each n_iter+2 times)."""
+    from miru_spark.pipeline.similarity import _emb, _ivf_fit
+
+    emb = scoped_cache(
+        _emb(spark, sf_dir).select("vec_id", "label", "embedding"), "ivfpq_emb"
+    )
+    cents, _n_by = _ivf_fit(emb, kc, n_iter)
+    res = scoped_cache(_residuals(emb, cents), "ivfpq_res")
+    books, _sizes, dsub = _pq_fit_df(res, m, ksub, n_iter)
+    return emb, cents, books, res, dsub
+
+
+def _probe_cells(cents: list[list[float]], q: list[float], nprobe: int) -> list[int]:
+    """The nprobe coarse cells nearest the query: squared-L2 left-fold in
+    element order + Spark-rule 9-dp rounding (`_round_half_up`), ties to
+    the lower cell id — the driver-side mirror of `_assign_col`'s ORDER BY
+    (d, cluster) contract, so both engines probe the same cells."""
+    ds = []
+    for cell, c in enumerate(cents):
+        acc = 0.0
+        for x, y in zip(q, c):
+            acc = acc + (x - y) * (x - y)
+        ds.append((_round_half_up(acc, 9), cell))
+    ds.sort()
+    return [cell for _, cell in ds[:nprobe]]
+
+
+def _ivfpq_adc(
+    dtabs: dict[int, list[list[float]]],
+    probed: list[int],
+    kc: int,
+    code_cols: list[Column],
+) -> Column:
+    """Per-row ADC under per-cell distance tables: map the row's cell to
+    its probe rank via a kc-long literal array, then for each subspace
+    index a (nprobe x ksub) nested literal array by (rank, code). Rows in
+    unprobed cells must be filtered out by the CALLER — their rank entry
+    is a placeholder."""
+    rank_of = {c: r for r, c in enumerate(probed)}
+    pr_map = F.array(*[F.lit(rank_of.get(c, 0)) for c in range(kc)])
+    pr = F.element_at(pr_map, F.col("cell") + 1)
+    terms = []
+    for j, code in enumerate(code_cols):
+        tabs = F.array(
+            *[F.array(*[F.lit(v) for v in dtabs[cell][j]]) for cell in probed]
+        )
+        terms.append(F.element_at(F.element_at(tabs, pr + 1), code + 1))
+    return F.round(sum(terms[1:], terms[0]), 6)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    kc: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF-PQ top-k: probe the nprobe nearest coarse cells, ADC over the
+    RESIDUAL codes inside only those cells. Approximate on two axes by
+    construction — cells outside the probe set are never scored (true
+    neighbors there are lost; recall is tuned by nprobe), and within-cell
+    ranking carries PQ quantization error (repaired by `ivfpq_rerank`).
+    Returns (vec_id, label, adc, rank), adc ascending, query row excluded.
+
+    Scale shape: training exchanges carry only centroid-table rows; cell
+    assignment + residual + encode are map-only over folded literals; the
+    probed-cell filter is the one that becomes PartitionFilters directory
+    pruning in the stored form (`ivfpq_topk_from_codes`) — the scan cost
+    is nprobe/kc of the corpus's CODE bytes, not its float bytes."""
+    emb, cents, books, res, dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
+    q_rows = (
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+    q = [float(v) for v in q_rows[0]["embedding"]]
+    probed = _probe_cells(cents, q, nprobe)
+    dtabs = {
+        cell: _adc_table(
+            spark, books, [q[i] - cents[cell][i] for i in range(len(q))], dsub
+        )
+        for cell in probed
+    }
+    code_cols = [_code_col(_sub_slice(j, dsub), books[j]) for j in range(m)]
+    adc = _ivfpq_adc(dtabs, probed, kc, code_cols)
+    scored = res.filter(
+        F.col("cell").isin(probed) & (F.col("vec_id") != query_vec_id)
+    ).select("vec_id", "label", adc.alias("adc"))
+    return ranked_topk(scored, k, "vec_id", F.asc("adc"), F.asc("vec_id")).select(
+        "vec_id", "label", "adc", "rank"
+    )
+
+
+def ivfpq_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    kc: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF-PQ shortlist -> exact re-rank: the served composition (same
+    shape as `pq_rerank_topk`, now with the coarse probe bounding the scan
+    too). The float column is read only for the `shortlist` candidate rows
+    (bounded isin -> row-group pruning). Recall is bounded above by the
+    probe: a true neighbor in an unprobed cell cannot be recovered by any
+    re-rank — that is the IVF trade, tuned by nprobe."""
+    adc_df = ivfpq_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=shortlist,
+        kc=kc, nprobe=nprobe, m=m, ksub=ksub, n_iter=n_iter,
+    )
+    ids = [r["vec_id"] for r in adc_df.collect()]  # bounded: `shortlist` rows
+    from miru_spark.pipeline.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    return _rerank_exact(emb, q, ids, k)
+
+
+def ivfpq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    kc: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train IVF-PQ and materialize the index: a parquet table
+    (vec_id, label, c0..c{m-1} smallint) hive-PARTITIONED by coarse cell —
+    `repartition("cell")` FIRST so each cell directory gets one writer's
+    files, not tasks x kc tiny files (the build_bucketed_embeddings
+    lesson). Returns (coarse_cents, books) for serving."""
+    _emb_df, cents, books, res, dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
+    cols = [F.col("vec_id"), F.col("label"), F.col("cell")] + [
+        _code_col(_sub_slice(j, dsub), books[j]).cast("smallint").alias(f"c{j}")
+        for j in range(m)
+    ]
+    (
+        res.select(*cols)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+    return cents, books
+
+
+def ivfpq_topk_from_codes(
+    spark: SparkSession,
+    codes_path: str,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ serving over the STORED cell-partitioned codes — the 100-TB
+    path: the `cell IN probed` filter prunes whole partition DIRECTORIES
+    (explain() shows PartitionFilters; pinned by test), so the scan reads
+    nprobe/kc of the code files and ZERO float bytes. Rank-identical to
+    the inline `ivfpq_topk` on the same corpus (pinned by test)."""
+    kc, m = len(cents), len(books)
+    dsub = len(books[0][0])
+    q = [float(v) for v in query_vec]
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != m*dsub {m * dsub}")
+    probed = _probe_cells(cents, q, nprobe)
+    dtabs = {
+        cell: _adc_table(
+            spark, books, [q[i] - cents[cell][i] for i in range(len(q))], dsub
+        )
+        for cell in probed
+    }
+    codes = spark.read.parquet(codes_path).filter(F.col("cell").isin(probed))
+    code_cols = [F.col(f"c{j}").cast("int") for j in range(m)]
+    adc = _ivfpq_adc(dtabs, probed, kc, code_cols)
+    scored = codes.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "label", adc.alias("adc")
+    )
+    return ranked_topk(scored, k, "vec_id", F.asc("adc"), F.asc("vec_id")).select(
+        "vec_id", "label", "adc", "rank"
+    )

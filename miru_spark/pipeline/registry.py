@@ -44,6 +44,8 @@ def pipeline_ops() -> dict[str, Op]:
         "pq_train": quantize.pq_train,
         "pq_topk": quantize.pq_topk,
         "pq_rerank": quantize.pq_rerank_topk,
+        "ivfpq_topk": quantize.ivfpq_topk,
+        "ivfpq_rerank": quantize.ivfpq_rerank_topk,
         # text family
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,

@@ -454,6 +454,26 @@ def ivf_train(
     emb = scoped_cache(
         _emb(spark, sf_dir).select("vec_id", "embedding"), "ivf_train_emb"
     )
+    cents, n_by = _ivf_fit(emb, k, n_iter)
+    cent_df = spark.createDataFrame(
+        [
+            (j, n_by[j], p, cents[j][p])
+            for j in range(k)
+            for p in range(len(cents[j]))
+        ],
+        "cluster int, n long, pos int, val double",
+    )
+    return cent_df.orderBy("cluster", "pos")
+
+
+def _ivf_fit(
+    emb: DataFrame, k: int, n_iter: int
+) -> tuple[list[list[float]], dict[int, int]]:
+    """The deterministic Lloyd's loop behind `ivf_train`, factored so the
+    IVF-PQ composition (`quantize.ivfpq_topk`) can train the coarse
+    quantizer on the same contract. ``emb`` must carry (vec_id, embedding)
+    and should be cached by the caller (the loop scans it n_iter+2 times).
+    Returns (centroids, final cell sizes); raises if any cell empties."""
     seed_rows = emb.orderBy("vec_id").limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
@@ -492,15 +512,7 @@ def ivf_train(
             f"empty cluster(s) after final assignment {sorted(set(range(k)) - got)}"
         )
     n_by = {int(r["cluster"]): int(r["n"]) for r in size_rows}
-    cent_df = spark.createDataFrame(
-        [
-            (j, n_by[j], p, cents[j][p])
-            for j in range(k)
-            for p in range(len(cents[j]))
-        ],
-        "cluster int, n long, pos int, val double",
-    )
-    return cent_df.orderBy("cluster", "pos")
+    return cents, n_by
 
 
 def _lsh_bucket_col(n_planes: int = 8, dim: int = 64, col: Column | None = None) -> Column:

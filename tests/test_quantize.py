@@ -270,3 +270,135 @@ def test_pq_train_raises_on_empty_cell(spark, tmp_path):
     ).write.parquet(f"{d}/embeddings.parquet")
     with pytest.raises(ValueError, match="empty PQ cell"):
         pq_train(spark, d)
+
+
+# ---- IVF-PQ: coarse cells + residual codes ----
+
+
+def _np_coarse_fit(X, kc, n_iter):
+    """similarity._ivf_fit's contract re-implemented serially: seeds = the
+    kc smallest vec_ids' vectors, argmin on 9-dp-rounded squared L2 (ties
+    to the lower cell), means rounded 6 dp."""
+    C = X[:kc].copy()
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(9)
+        return d.argmin(axis=1)
+
+    for _ in range(n_iter):
+        a = assign(C)
+        C = np.array([X[a == c].mean(axis=0).round(6) for c in range(kc)])
+    return C, assign(C)
+
+
+def _np_ivfpq(X, ids, kc, nprobe, m, ksub, n_iter, k, shortlist):
+    """The whole IVF-PQ program serially: coarse fit, residuals, PQ fit on
+    residuals, probe, per-cell ADC over probed rows, top-k — plus the
+    shortlist -> exact re-rank. Returns (topk, rerank) as
+    ([(adc, vec_id)], [(d2, vec_id)])."""
+    C, cell = _np_coarse_fit(X, kc, n_iter)
+    R = X - C[cell]
+    books, assigns, dsub = _np_fit(R, m, ksub, n_iter)
+    qi = ids.index(0)
+    q = X[qi]
+    cd = [(round(float(((q - C[l]) ** 2).sum()), 9), l) for l in range(kc)]
+    cd.sort()
+    probed = [l for _, l in cd[:nprobe]]
+    dtabs = {
+        l: [
+            [
+                round(
+                    float(
+                        (
+                            (
+                                (q - C[l])[j * dsub : (j + 1) * dsub]
+                                - books[j][c]
+                            )
+                            ** 2
+                        ).sum()
+                    ),
+                    9,
+                )
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        for l in probed
+    }
+    scored = []
+    for i, vid in enumerate(ids):
+        if vid == 0 or int(cell[i]) not in probed:
+            continue
+        adc = round(
+            sum(dtabs[int(cell[i])][j][assigns[j][i]] for j in range(m)), 6
+        )
+        scored.append((adc, vid))
+    scored.sort()
+    topk = scored[:k]
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    rr = sorted(
+        (round(float(((X[idx_of[vid]] - q) ** 2).sum()), 6), vid)
+        for _, vid in scored[:shortlist]
+    )[:k]
+    return topk, rr
+
+
+def test_ivfpq_topk_and_rerank_match_numpy(spark, sfdir):
+    """The distributed IVF-PQ composition (coarse Lloyd's -> residual PQ
+    -> probed-cell ADC -> optional exact re-rank) must reproduce an
+    independent serial numpy program exactly — partitioning cannot leak
+    into cells, codes, probe choice, or ranks."""
+    from miru_spark.pipeline.quantize import ivfpq_rerank_topk, ivfpq_topk
+
+    kc, nprobe, m, ksub, n_iter, k, C = 4, 2, 4, 4, 2, 10, 50
+    X, ids, _labels = _corpus(spark, sfdir)
+    exp_topk, exp_rr = _np_ivfpq(X, ids, kc, nprobe, m, ksub, n_iter, k, C)
+
+    got = ivfpq_topk(
+        spark, sfdir, k=k, kc=kc, nprobe=nprobe, m=m, ksub=ksub, n_iter=n_iter
+    ).collect()
+    assert [(r["adc"], r["vec_id"]) for r in got] == exp_topk
+
+    got_rr = ivfpq_rerank_topk(
+        spark, sfdir, k=k, shortlist=C, kc=kc, nprobe=nprobe,
+        m=m, ksub=ksub, n_iter=n_iter,
+    ).collect()
+    assert [(r["d2"], r["vec_id"]) for r in got_rr] == exp_rr
+
+
+def test_ivfpq_from_codes_rank_identical_and_partition_pruned(
+    spark, sfdir, tmp_path
+):
+    """The stored cell-partitioned form must (a) rank-match the inline
+    composition and (b) actually prune: the executed plan's scan carries a
+    PartitionFilters entry on cell and reads no float column."""
+    from miru_spark.pipeline.quantize import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_from_codes,
+    )
+
+    codes_dir = str(tmp_path / "ivfpq_codes")
+    cents, books = ivfpq_encode(spark, sfdir, codes_dir)
+    q = [
+        float(v)
+        for v in spark.read.parquet(f"{sfdir}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .collect()[0]["embedding"]
+    ]
+    served = ivfpq_topk_from_codes(spark, codes_dir, cents, books, q)
+    inline = ivfpq_topk(spark, sfdir)
+    assert [r.asDict() for r in served.collect()] == [
+        r.asDict() for r in inline.collect()
+    ]
+
+    plan = served._sc._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "embedding" not in plan
+    # the partition directories exist (one per coarse cell)
+    import os
+
+    dirs = sorted(d for d in os.listdir(codes_dir) if d.startswith("cell="))
+    assert len(dirs) == len(cents)
