@@ -926,6 +926,157 @@ FROM rr QUALIFY rank <= {k} ORDER BY rank
 """
 
 
+def _pq_recall_oracle_sql(
+    query_ids: tuple = tuple(range(8)),
+    k: int = 10,
+    shortlists: tuple = (10, 25, 50),
+    dim: int = 64,
+) -> str:
+    """pq_recall oracle: the ENTIRE measurement in SQL — shared Lloyd's
+    prefix, per-QUERY ADC distance tables (dtab keyed by qid), ADC ranking
+    per query, exact squared-L2 ground truth (top-k per query by
+    (d2, vec_id)), then recall_ppm per served form: raw ADC top-k
+    ('adc', shortlist=0 sentinel) and shortlist->re-rank at each C.
+    Integer-ppm floor division on both engines — float-free value hash."""
+    nq = len(query_ids)
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    cs = ", ".join(str(c) for c in sorted(shortlists))
+    return f"""{_pq_ctes()},
+qids AS (SELECT unnest([{ids}])::BIGINT AS qid),
+qs AS (SELECT s.vec_id AS qid, s.subspace, s.sv AS qsv
+       FROM sub s JOIN qids ON s.vec_id = qids.qid),
+dtab AS (
+  SELECT qs.qid, t.subspace, t.cluster,
+         round(sum((qs.qsv[p.i] - t.c[p.i]) * (qs.qsv[p.i] - t.c[p.i])), 9) AS d
+  FROM c2 t JOIN qs ON t.subspace = qs.subspace CROSS JOIN pos p
+  GROUP BY qs.qid, t.subspace, t.cluster),
+adcs AS (
+  SELECT dt.qid, a.vec_id, round(sum(dt.d), 6) AS adc
+  FROM a2 a JOIN dtab dt
+    ON a.subspace = dt.subspace AND a.cluster = dt.cluster
+  WHERE a.vec_id <> dt.qid GROUP BY dt.qid, a.vec_id),
+sl AS (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       FROM adcs),
+qf AS (SELECT e.vec_id AS qid, e.v AS qv FROM e JOIN qids ON e.vec_id = qids.qid),
+posf AS (SELECT unnest(range(1, {dim + 1}))::INT AS i),
+ex AS (
+  SELECT qf.qid, e.vec_id,
+         round(sum((e.v[p.i] - qf.qv[p.i]) * (e.v[p.i] - qf.qv[p.i])), 6) AS d2
+  FROM e CROSS JOIN qf CROSS JOIN posf p
+  WHERE e.vec_id <> qf.qid GROUP BY qf.qid, e.vec_id),
+truth AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+  FROM ex) WHERE rn <= {k}),
+cs AS (SELECT unnest([{cs}])::INT AS c),
+rr AS (
+  SELECT cs.c, s.qid, s.vec_id,
+         row_number() OVER (PARTITION BY cs.c, s.qid ORDER BY ex.d2, s.vec_id) AS rk
+  FROM sl s JOIN cs ON s.rn <= cs.c
+  JOIN ex ON ex.qid = s.qid AND ex.vec_id = s.vec_id),
+rhits AS (
+  SELECT cs.c AS c, count(truth.qid) AS nh
+  FROM cs LEFT JOIN rr ON rr.c = cs.c AND rr.rk <= {k}
+  LEFT JOIN truth ON truth.qid = rr.qid AND truth.vec_id = rr.vec_id
+  GROUP BY cs.c),
+ahits AS (
+  SELECT count(truth.qid) AS nh
+  FROM sl LEFT JOIN truth ON truth.qid = sl.qid AND truth.vec_id = sl.vec_id
+  WHERE sl.rn <= {k})
+SELECT 'adc' AS variant, 0 AS shortlist, {nq}::BIGINT AS n_queries,
+       {k} AS k, nh AS n_hits, (nh * 1000000) // {k * nq} AS recall_ppm
+FROM ahits
+UNION ALL
+SELECT 'rerank', c, {nq}::BIGINT, {k}, nh, (nh * 1000000) // {k * nq}
+FROM rhits
+ORDER BY variant, shortlist
+"""
+
+
+def _ivfpq_recall_oracle_sql(
+    query_ids: tuple = tuple(range(8)),
+    k: int = 10,
+    nprobes: tuple = (1, 2, 4),
+    shortlist: int = 50,
+) -> str:
+    """ivfpq_recall oracle: the full IVF-PQ recall measurement in SQL —
+    coarse + residual Lloyd's (`_ivfpq_ctes`), per-query probe ORDER over
+    all kc cells (crk), per-(query, cell) residual ADC tables, per-vector
+    ADC restricted to cells probed at each nprobe level, shortlist cut,
+    exact ground truth, and recall_ppm per (variant, nprobe)."""
+    nq = len(query_ids)
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    nps = ", ".join(str(n) for n in sorted(nprobes))
+    dsub = 16
+    return f"""{_ivfpq_ctes()},
+qids AS (SELECT unnest([{ids}])::BIGINT AS qid),
+qf AS (SELECT e.vec_id AS qid, e.v AS qv FROM e JOIN qids ON e.vec_id = qids.qid),
+cpd AS (
+  SELECT qf.qid, cc.cluster,
+         round(sum((qf.qv[p.i] - cc.c[p.i]) * (qf.qv[p.i] - cc.c[p.i])), 9) AS d
+  FROM cc2 cc CROSS JOIN qf CROSS JOIN fpos p GROUP BY qf.qid, cc.cluster),
+crk AS (SELECT qid, cluster AS cell,
+               row_number() OVER (PARTITION BY qid ORDER BY d, cluster) AS cr
+        FROM cpd),
+qres AS (
+  SELECT qf.qid, cc.cluster AS cell, list(qf.qv[p.i] - cc.c[p.i] ORDER BY p.i) AS qrv
+  FROM cc2 cc CROSS JOIN qf CROSS JOIN fpos p GROUP BY qf.qid, cc.cluster),
+qsub AS (SELECT qid, cell, j AS subspace,
+                qrv[j*{dsub}+1 : j*{dsub}+{dsub}] AS qsv
+         FROM qres, js),
+dtab AS (
+  SELECT qs.qid, qs.cell, t.subspace, t.cluster,
+         round(sum((qs.qsv[p.i] - t.c[p.i]) * (qs.qsv[p.i] - t.c[p.i])), 9) AS d
+  FROM c2 t JOIN qsub qs ON t.subspace = qs.subspace CROSS JOIN pos p
+  GROUP BY qs.qid, qs.cell, t.subspace, t.cluster),
+adcs AS (
+  SELECT dt.qid, a.vec_id, r.cell, round(sum(dt.d), 6) AS adc
+  FROM a2 a JOIN res r ON a.vec_id = r.vec_id
+  JOIN dtab dt ON r.cell = dt.cell
+    AND a.subspace = dt.subspace AND a.cluster = dt.cluster
+  WHERE a.vec_id <> dt.qid GROUP BY dt.qid, a.vec_id, r.cell),
+nps AS (SELECT unnest([{nps}])::INT AS np),
+sl AS (
+  SELECT np, qid, vec_id,
+         row_number() OVER (PARTITION BY np, qid ORDER BY adc, vec_id) AS rn
+  FROM (SELECT nps.np, adcs.qid, adcs.vec_id, adcs.adc
+        FROM adcs JOIN crk ON adcs.qid = crk.qid AND adcs.cell = crk.cell
+        JOIN nps ON crk.cr <= nps.np)
+  QUALIFY rn <= {shortlist}),
+ex AS (
+  SELECT qf.qid, e.vec_id,
+         round(sum((e.v[p.i] - qf.qv[p.i]) * (e.v[p.i] - qf.qv[p.i])), 6) AS d2
+  FROM e CROSS JOIN qf CROSS JOIN fpos p
+  WHERE e.vec_id <> qf.qid GROUP BY qf.qid, e.vec_id),
+truth AS (SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+  FROM ex) WHERE rn <= {k}),
+rr AS (
+  SELECT s.np, s.qid, s.vec_id,
+         row_number() OVER (PARTITION BY s.np, s.qid ORDER BY ex.d2, s.vec_id) AS rk
+  FROM sl s JOIN ex ON ex.qid = s.qid AND ex.vec_id = s.vec_id),
+rhits AS (
+  SELECT nps.np AS np, count(truth.qid) AS nh
+  FROM nps LEFT JOIN rr ON rr.np = nps.np AND rr.rk <= {k}
+  LEFT JOIN truth ON truth.qid = rr.qid AND truth.vec_id = rr.vec_id
+  GROUP BY nps.np),
+ahits AS (
+  SELECT nps.np AS np, count(truth.qid) AS nh
+  FROM nps LEFT JOIN sl ON sl.np = nps.np AND sl.rn <= {k}
+  LEFT JOIN truth ON truth.qid = sl.qid AND truth.vec_id = sl.vec_id
+  GROUP BY nps.np)
+SELECT 'adc' AS variant, np AS nprobe, {nq}::BIGINT AS n_queries,
+       {k} AS k, nh AS n_hits, (nh * 1000000) // {k * nq} AS recall_ppm
+FROM ahits
+UNION ALL
+SELECT 'rerank', np, {nq}::BIGINT, {k}, nh, (nh * 1000000) // {k * nq}
+FROM rhits
+ORDER BY variant, nprobe
+"""
+
+
 # shingle CTE shared by ngram/minhash oracles (3-token shingles, distinct)
 _SHINGLE_CTE = f"""
 tokarr AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -1091,6 +1242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nprobe probed cells (PartitionFilters in the stored form)
         "ivfpq_topk": quantize.ivfpq_topk,
         "ivfpq_rerank": quantize.ivfpq_rerank_topk,
+        # measured recall@k of the quantized tiers vs exact ground truth —
+        # the ann_recall contract extended to PQ/IVF-PQ serving (raw ADC
+        # is expected LOW at the gate codebook: tie degeneracy; rerank >=
+        # adc is the provable invariant, pinned in tests)
+        "pq_recall": quantize.pq_recall,
+        "ivfpq_recall": quantize.ivfpq_recall,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -1875,6 +2032,8 @@ FROM flat GROUP BY lang ORDER BY lang
         "pq_rerank": _pq_rerank_oracle_sql(),
         "ivfpq_topk": _ivfpq_topk_oracle_sql(),
         "ivfpq_rerank": _ivfpq_rerank_oracle_sql(),
+        "pq_recall": _pq_recall_oracle_sql(),
+        "ivfpq_recall": _ivfpq_recall_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

@@ -138,6 +138,9 @@ def main() -> None:
         "pq_train", "pq_topk", "pq_rerank",
         # IVF-PQ: coarse cells + residual codes, probed-cell serving
         "ivfpq_topk", "ivfpq_rerank",
+        # measured recall@k of the quantized tiers (ann_recall contract
+        # extended to PQ/IVF-PQ: batched ADC scan + one exact truth scan)
+        "pq_recall", "ivfpq_recall",
     ]
     qmap = entry.queries()
     for name in headline:

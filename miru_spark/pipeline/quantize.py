@@ -70,7 +70,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from miru_spark.functions.cache import scoped_cache
+from miru_spark.functions.cache import release_scope, scoped_cache
 from miru_spark.functions.topk import ranked_topk
 
 
@@ -719,3 +719,302 @@ def ivfpq_topk_from_codes(
     return ranked_topk(scored, k, "vec_id", F.asc("adc"), F.asc("vec_id")).select(
         "vec_id", "label", "adc", "rank"
     )
+
+
+# ---- Measured recall: the PQ tier's "measure, don't guess" gates ----
+
+PQ_RECALL_QUERY_IDS = tuple(range(8))
+
+
+def _exact_pairs(
+    emb: DataFrame, qvecs: dict[int, list[float]]
+) -> DataFrame:
+    """(qid, vec_id, d2) for every (query, candidate) pair — the ground-
+    truth scan shared by both recall gates: ONE corpus pass against the
+    broadcast |Q|-row query relation (the `similarity.ann_recall` shape).
+    This is a MEASUREMENT harness run on a bounded query sample, not a
+    serving path — the serving paths are exactly what it grades."""
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, qvecs[qid]) for qid in sorted(qvecs)],
+        "qid bigint, qv array<double>",
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qv"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    return emb.join(F.broadcast(qdf), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", d2.alias("d2")
+    )
+
+
+def _collect_qvecs(emb: DataFrame, query_ids: tuple) -> dict[int, list[float]]:
+    rows = emb.filter(F.col("vec_id").isin(list(query_ids))).select(
+        "vec_id", "embedding"
+    ).collect()
+    if len(rows) != len(query_ids):
+        raise ValueError(
+            f"only {len(rows)} of {len(query_ids)} query ids present"
+        )
+    return {int(r["vec_id"]): [float(v) for v in r["embedding"]] for r in rows}
+
+
+def _truth_set(ex: DataFrame, k: int) -> set:
+    """Exact top-k pairs per query from the ground-truth scan: the same
+    (d2 asc, vec_id asc) deterministic order the re-rank uses."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    rows = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+        .collect()
+    )
+    return {(int(r["qid"]), int(r["vec_id"])) for r in rows}
+
+
+def pq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple = PQ_RECALL_QUERY_IDS,
+    k: int = 10,
+    shortlists: tuple = (10, 25, 50),
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Measured recall@k of the PQ tier against exact squared-L2 ground
+    truth — the `similarity.ann_recall` contract extended to quantized
+    serving, so codebook/ADC changes can never silently regress recall.
+
+    One row per served form: variant='adc' (raw ADC top-k — expected LOW:
+    with the gate's 4^4=256 code combinations ties are rampant, which is
+    the documented reason the served form re-ranks) and variant='rerank'
+    at each shortlist size C (ADC top-C -> exact re-rank -> top-k).
+    ``recall_ppm`` is integer parts-per-million (float-free value hash);
+    'adc' rows carry shortlist=0 as a sentinel. Re-rank recall is provably
+    non-decreasing in C (a bigger ADC shortlist only ADDS candidates, and
+    any candidate that outranks a true neighbor under (d2, vec_id) IS a
+    true neighbor) — pinned in tests/test_quantize.py.
+
+    Scale shape: codebooks train once (the one-aggregate-per-iteration
+    Lloyd's); ALL queries are scored in ONE code-relation scan — the
+    m-codes-per-row long form joins the broadcast |Q|*m*ksub distance-
+    table relation, then ONE map-side-combined (qid, vec_id) sum (the
+    lsh_ann_batch amortization story). Ground truth is the one full exact
+    scan a measurement needs; every collect is |Q|*max(C) rows."""
+    from miru_spark.pipeline.similarity import _emb
+
+    if max(shortlists) < k:
+        raise ValueError(f"max shortlist {max(shortlists)} < k={k}")
+    books, _sizes, dsub = _pq_fit(spark, sf_dir, m, ksub, n_iter)
+    emb = scoped_cache(
+        _emb(spark, sf_dir).select("vec_id", "label", "embedding"),
+        "pq_recall_emb",
+    )
+    qvecs = _collect_qvecs(emb, query_ids)
+    nq = len(query_ids)
+    cmax = max(shortlists)
+
+    # broadcast distance-table relation: (qid, subspace, code, d)
+    dtab_rows = []
+    for qid in sorted(qvecs):
+        tab = _adc_table(spark, books, qvecs[qid], dsub)
+        for j in range(m):
+            for c in range(ksub):
+                dtab_rows.append((qid, j, c, tab[j][c]))
+    dtab_df = spark.createDataFrame(
+        dtab_rows, "qid bigint, subspace int, code int, d double"
+    )
+
+    # ONE corpus scan: encode all m codes per row, long form, join, sum.
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                _code_col(_sub_slice(j, dsub), books[j]).alias("code"),
+            )
+            for j in range(m)
+        ]
+    )
+    codes = emb.select("vec_id", F.explode(structs).alias("s")).select(
+        "vec_id", F.col("s.subspace").alias("subspace"), F.col("s.code").alias("code")
+    )
+    adcs = (
+        codes.join(F.broadcast(dtab_df), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = scoped_cache(
+        adcs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cmax)
+        .select("qid", "vec_id", "rn"),
+        "pq_recall_short",
+    )
+
+    ex = scoped_cache(_exact_pairs(emb, qvecs), "pq_recall_ex")
+    truth = _truth_set(ex, k)
+    sl_rows = (
+        short.join(ex, ["qid", "vec_id"])
+        .select("qid", "rn", "vec_id", "d2")
+        .collect()
+    )  # bounded: |Q| * cmax rows
+    for s in ("pq_recall_short", "pq_recall_ex", "pq_recall_emb"):
+        release_scope(s)
+
+    by_q: dict[int, list] = {qid: [] for qid in qvecs}
+    for r in sl_rows:
+        by_q[int(r["qid"])].append((int(r["rn"]), int(r["vec_id"]), float(r["d2"])))
+    out = []
+    # raw ADC: the first k of the (adc, vec_id)-ordered shortlist
+    adc_hits = 0
+    for qid, rows in by_q.items():
+        rows.sort()
+        adc_hits += sum((qid, vid) in truth for rn, vid, _ in rows[:k])
+    out.append(("adc", 0, nq, k, adc_hits, (adc_hits * 1_000_000) // (k * nq)))
+    for c in sorted(shortlists):
+        hits = 0
+        for qid, rows in by_q.items():
+            cand = sorted(
+                ((d2, vid) for rn, vid, d2 in rows if rn <= c)
+            )[:k]
+            hits += sum((qid, vid) in truth for _, vid in cand)
+        out.append(("rerank", c, nq, k, hits, (hits * 1_000_000) // (k * nq)))
+    return spark.createDataFrame(
+        out,
+        "variant string, shortlist int, n_queries bigint, k int, "
+        "n_hits bigint, recall_ppm bigint",
+    ).orderBy("variant", "shortlist")
+
+
+def ivfpq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple = PQ_RECALL_QUERY_IDS,
+    k: int = 10,
+    nprobes: tuple = (1, 2, 4),
+    shortlist: int = 50,
+    kc: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Measured recall@k of IVF-PQ serving against exact ground truth,
+    per nprobe level — the number that tunes the IVF trade (cells outside
+    the probe set are unrecoverable by ANY re-rank, so recall vs nprobe is
+    the curve a deployment actually sets). One row per (variant, nprobe):
+    'adc' = raw probed-ADC top-k, 'rerank' = probed-ADC shortlist ->
+    exact re-rank (the served form). Monotonicity in nprobe is NOT
+    guaranteed for either variant once the shortlist cut binds (a newly
+    probed cell's ADC-competitive non-neighbors can crowd a true neighbor
+    out of the shortlist); what IS provable is rerank >= adc at every
+    nprobe — any truth member in the raw ADC top-k survives the re-rank,
+    because only globally-closer rows (truth members themselves) can
+    displace it under (d2, vec_id) — pinned in tests/test_quantize.py.
+
+    Scale shape: one training pass (coarse + residual Lloyd's); ALL
+    (query, nprobe) combinations scored from ONE residual-code scan —
+    the per-(qid, cell) ADC tables broadcast as a relation keyed
+    (qid, cell, subspace, code), candidates replicated per nprobe level
+    only AFTER reduction to (qid, vec_id, adc, cell-rank) rows."""
+    from pyspark.sql.window import Window
+
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} < k={k}")
+    if max(nprobes) > kc:
+        raise ValueError(f"max nprobe {max(nprobes)} > kc={kc}")
+    emb, cents, books, res, dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
+    qvecs = _collect_qvecs(emb, query_ids)
+    nq = len(query_ids)
+
+    # per-(qid, cell) residual ADC tables + probe ranks, driver-side
+    # (|Q| * kc * m * ksub * dsub float ops — trivial, bit-pinned)
+    dtab_rows, crk = [], {}
+    for qid in sorted(qvecs):
+        q = qvecs[qid]
+        order = _probe_cells(cents, q, kc)  # all cells, probe order
+        for rank, cell in enumerate(order, start=1):
+            crk[(qid, cell)] = rank
+            tab = _adc_table(
+                spark, books, [q[i] - cents[cell][i] for i in range(len(q))], dsub
+            )
+            for j in range(m):
+                for c in range(ksub):
+                    dtab_rows.append((qid, cell, rank, j, c, tab[j][c]))
+    dtab_df = spark.createDataFrame(
+        dtab_rows,
+        "qid bigint, cell int, cr int, subspace int, code int, d double",
+    )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                _code_col(_sub_slice(j, dsub), books[j]).alias("code"),
+            )
+            for j in range(m)
+        ]
+    )
+    codes = res.select("vec_id", "cell", F.explode(structs).alias("s")).select(
+        "vec_id", "cell",
+        F.col("s.subspace").alias("subspace"), F.col("s.code").alias("code"),
+    )
+    adcs = (
+        codes.join(F.broadcast(dtab_df), ["cell", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"), F.min("cr").alias("cr"))
+    )
+    npdf = spark.createDataFrame([(int(n),) for n in sorted(nprobes)], "np int")
+    w = Window.partitionBy("qid", "np").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = scoped_cache(
+        adcs.join(F.broadcast(npdf), F.col("cr") <= F.col("np"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "np", "vec_id", "rn"),
+        "ivfpq_recall_short",
+    )
+
+    ex = scoped_cache(_exact_pairs(emb, qvecs), "ivfpq_recall_ex")
+    truth = _truth_set(ex, k)
+    sl_rows = (
+        short.join(ex, ["qid", "vec_id"])
+        .select("qid", "np", "rn", "vec_id", "d2")
+        .collect()
+    )  # bounded: |Q| * |nprobes| * shortlist rows
+    for s in ("ivfpq_recall_short", "ivfpq_recall_ex", "ivfpq_emb", "ivfpq_res"):
+        release_scope(s)
+
+    by_qn: dict[tuple, list] = {}
+    for r in sl_rows:
+        by_qn.setdefault((int(r["qid"]), int(r["np"])), []).append(
+            (int(r["rn"]), int(r["vec_id"]), float(r["d2"]))
+        )
+    out = []
+    for n in sorted(nprobes):
+        a_hits = r_hits = 0
+        for qid in sorted(qvecs):
+            rows = sorted(by_qn.get((qid, n), []))
+            a_hits += sum((qid, vid) in truth for rn, vid, _ in rows[:k])
+            cand = sorted((d2, vid) for rn, vid, d2 in rows)[:k]
+            r_hits += sum((qid, vid) in truth for _, vid in cand)
+        out.append(("adc", n, nq, k, a_hits, (a_hits * 1_000_000) // (k * nq)))
+        out.append(("rerank", n, nq, k, r_hits, (r_hits * 1_000_000) // (k * nq)))
+    return spark.createDataFrame(
+        out,
+        "variant string, nprobe int, n_queries bigint, k int, "
+        "n_hits bigint, recall_ppm bigint",
+    ).orderBy("variant", "nprobe")

@@ -402,3 +402,51 @@ def test_ivfpq_from_codes_rank_identical_and_partition_pruned(
 
     dirs = sorted(d for d in os.listdir(codes_dir) if d.startswith("cell="))
     assert len(dirs) == len(cents)
+
+
+def test_pq_recall_invariants_and_floors(spark, sfdir):
+    """pq_recall: (a) rerank hits are non-decreasing in the shortlist size
+    C — a bigger ADC shortlist only ADDS candidates, and any candidate that
+    outranks a true neighbor under (d2, vec_id) is itself a true neighbor;
+    (b) every rerank row dominates the raw-ADC row (same argument with the
+    ADC top-k as the smaller set) — raw ADC is expected LOW at the gate
+    codebook (4^4 combinations => rampant exact ties); (c) pinned floors
+    (deterministic values, >= keeps improvements green; measured on r5
+    code at sf0.001: adc 150000, rerank@50 375000)."""
+    from miru_spark.pipeline.quantize import pq_recall
+
+    rows = pq_recall(spark, sfdir).collect()
+    adc = [r for r in rows if r["variant"] == "adc"]
+    rer = sorted(
+        (r for r in rows if r["variant"] == "rerank"),
+        key=lambda r: r["shortlist"],
+    )
+    assert len(adc) == 1 and [r["shortlist"] for r in rer] == [10, 25, 50]
+    hits = [r["n_hits"] for r in rer]
+    assert hits == sorted(hits), hits
+    assert all(r["n_hits"] >= adc[0]["n_hits"] for r in rer)
+    assert adc[0]["recall_ppm"] >= 100000
+    assert rer[-1]["recall_ppm"] >= 350000
+    for r in rows:
+        assert r["n_queries"] == 8 and r["k"] == 10
+        assert 0 <= r["n_hits"] <= 80
+        assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // 80
+
+
+def test_ivfpq_recall_rerank_dominates_adc(spark, sfdir):
+    """ivfpq_recall: rerank >= adc at every nprobe (the provable
+    invariant — monotonicity in nprobe itself is NOT guaranteed once the
+    shortlist cut binds, and the sf0.001 numbers demonstrate that:
+    rerank@1 > rerank@2 on this corpus); pinned floor at the widest probe
+    (measured on r5 code: rerank@4 = 475000)."""
+    from miru_spark.pipeline.quantize import ivfpq_recall
+
+    rows = ivfpq_recall(spark, sfdir).collect()
+    by = {(r["variant"], r["nprobe"]): r for r in rows}
+    assert set(by) == {(v, n) for v in ("adc", "rerank") for n in (1, 2, 4)}
+    for n in (1, 2, 4):
+        assert by[("rerank", n)]["n_hits"] >= by[("adc", n)]["n_hits"], n
+    assert by[("rerank", 4)]["recall_ppm"] >= 400000
+    for r in rows:
+        assert r["n_queries"] == 8 and r["k"] == 10
+        assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // 80
