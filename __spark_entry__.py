@@ -1066,13 +1066,20 @@ ahits AS (
   SELECT nps.np AS np, count(truth.qid) AS nh
   FROM nps LEFT JOIN sl ON sl.np = nps.np AND sl.rn <= {k}
   LEFT JOIN truth ON truth.qid = sl.qid AND truth.vec_id = sl.vec_id
+  GROUP BY nps.np),
+ccount AS (
+  SELECT nps.np AS np, count(adcs.vec_id) AS nc
+  FROM nps LEFT JOIN crk ON crk.cr <= nps.np
+  LEFT JOIN adcs ON adcs.qid = crk.qid AND adcs.cell = crk.cell
   GROUP BY nps.np)
-SELECT 'adc' AS variant, np AS nprobe, {nq}::BIGINT AS n_queries,
-       {k} AS k, nh AS n_hits, (nh * 1000000) // {k * nq} AS recall_ppm
-FROM ahits
+SELECT 'adc' AS variant, a.np AS nprobe, {nq}::BIGINT AS n_queries,
+       {k} AS k, coalesce(c.nc, 0) AS n_candidates, a.nh AS n_hits,
+       (a.nh * 1000000) // {k * nq} AS recall_ppm
+FROM ahits a LEFT JOIN ccount c ON a.np = c.np
 UNION ALL
-SELECT 'rerank', np, {nq}::BIGINT, {k}, nh, (nh * 1000000) // {k * nq}
-FROM rhits
+SELECT 'rerank', r.np, {nq}::BIGINT, {k}, coalesce(c.nc, 0), r.nh,
+       (r.nh * 1000000) // {k * nq}
+FROM rhits r LEFT JOIN ccount c ON r.np = c.np
 ORDER BY variant, nprobe
 """
 

@@ -924,6 +924,9 @@ def ivfpq_recall(
     nprobe — any truth member in the raw ADC top-k survives the re-rank,
     because only globally-closer rows (truth members themselves) can
     displace it under (d2, vec_id) — pinned in tests/test_quantize.py.
+    ``n_candidates`` is the total scored-candidate count across queries at
+    that probe level — the COST axis (the ann_recall contract), so each
+    row carries the recall/cost tradeoff a deployment tunes nprobe by.
 
     Scale shape: one training pass (coarse + residual Lloyd's); ALL
     (query, nprobe) combinations scored from ONE residual-code scan —
@@ -980,9 +983,18 @@ def ivfpq_recall(
     )
     npdf = spark.createDataFrame([(int(n),) for n in sorted(nprobes)], "np int")
     w = Window.partitionBy("qid", "np").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand_all = scoped_cache(
+        adcs.join(F.broadcast(npdf), F.col("cr") <= F.col("np")),
+        "ivfpq_recall_cand",
+    )
+    # the COST axis (the ann_recall contract): total scored-candidate count
+    # per probe level — what a deployment trades recall against
+    n_cand = {
+        int(r["np"]): int(r["n"])
+        for r in cand_all.groupBy("np").agg(F.count("*").alias("n")).collect()
+    }
     short = scoped_cache(
-        adcs.join(F.broadcast(npdf), F.col("cr") <= F.col("np"))
-        .withColumn("rn", F.row_number().over(w))
+        cand_all.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= shortlist)
         .select("qid", "np", "vec_id", "rn"),
         "ivfpq_recall_short",
@@ -995,7 +1007,10 @@ def ivfpq_recall(
         .select("qid", "np", "rn", "vec_id", "d2")
         .collect()
     )  # bounded: |Q| * |nprobes| * shortlist rows
-    for s in ("ivfpq_recall_short", "ivfpq_recall_ex", "ivfpq_emb", "ivfpq_res"):
+    for s in (
+        "ivfpq_recall_short", "ivfpq_recall_cand", "ivfpq_recall_ex",
+        "ivfpq_emb", "ivfpq_res",
+    ):
         release_scope(s)
 
     by_qn: dict[tuple, list] = {}
@@ -1011,10 +1026,15 @@ def ivfpq_recall(
             a_hits += sum((qid, vid) in truth for rn, vid, _ in rows[:k])
             cand = sorted((d2, vid) for rn, vid, d2 in rows)[:k]
             r_hits += sum((qid, vid) in truth for _, vid in cand)
-        out.append(("adc", n, nq, k, a_hits, (a_hits * 1_000_000) // (k * nq)))
-        out.append(("rerank", n, nq, k, r_hits, (r_hits * 1_000_000) // (k * nq)))
+        nc = n_cand.get(n, 0)
+        out.append(
+            ("adc", n, nq, k, nc, a_hits, (a_hits * 1_000_000) // (k * nq))
+        )
+        out.append(
+            ("rerank", n, nq, k, nc, r_hits, (r_hits * 1_000_000) // (k * nq))
+        )
     return spark.createDataFrame(
         out,
         "variant string, nprobe int, n_queries bigint, k int, "
-        "n_hits bigint, recall_ppm bigint",
+        "n_candidates bigint, n_hits bigint, recall_ppm bigint",
     ).orderBy("variant", "nprobe")

@@ -446,6 +446,11 @@ def test_ivfpq_recall_rerank_dominates_adc(spark, sfdir):
     assert set(by) == {(v, n) for v in ("adc", "rerank") for n in (1, 2, 4)}
     for n in (1, 2, 4):
         assert by[("rerank", n)]["n_hits"] >= by[("adc", n)]["n_hits"], n
+        assert by[("adc", n)]["n_candidates"] == by[("rerank", n)]["n_candidates"]
+    # cost axis: more probes => strictly more scored candidates, up to the
+    # full corpus (minus the 8 self rows) at nprobe = kc
+    ncs = [by[("adc", n)]["n_candidates"] for n in (1, 2, 4)]
+    assert ncs[0] < ncs[1] < ncs[2], ncs
     assert by[("rerank", 4)]["recall_ppm"] >= 400000
     for r in rows:
         assert r["n_queries"] == 8 and r["k"] == 10
