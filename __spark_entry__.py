@@ -1255,6 +1255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adc is the provable invariant, pinned in tests)
         "pq_recall": quantize.pq_recall,
         "ivfpq_recall": quantize.ivfpq_recall,
+        # incremental index maintenance: the stored IVF-PQ index built by
+        # TWO ivfpq_append batches (frozen codebooks, no retrain) must
+        # serve identically to the encode-all program — shares
+        # ivfpq_topk's full value-hash oracle
+        "ivfpq_append_serve": quantize.ivfpq_append_serve,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -2041,6 +2046,9 @@ FROM flat GROUP BY lang ORDER BY lang
         "ivfpq_rerank": _ivfpq_rerank_oracle_sql(),
         "pq_recall": _pq_recall_oracle_sql(),
         "ivfpq_recall": _ivfpq_recall_oracle_sql(),
+        # append-built index serves rank-identically to encode-all:
+        # same program, same oracle
+        "ivfpq_append_serve": _ivfpq_topk_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

@@ -1038,3 +1038,107 @@ def ivfpq_recall(
         "variant string, nprobe int, n_queries bigint, k int, "
         "n_candidates bigint, n_hits bigint, recall_ppm bigint",
     ).orderBy("variant", "nprobe")
+
+
+# ---- Incremental index maintenance: append without retrain ----
+
+
+def ivfpq_append(
+    spark: SparkSession,
+    codes_path: str,
+    new_emb: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    check_ids: bool = True,
+) -> int:
+    """Append a batch of NEW vectors to a stored IVF-PQ index without
+    retraining — the `dedup_incremental` story for the vector tier, and
+    the standard IVF maintenance contract (FAISS `add`): codebooks are
+    FROZEN (a retrain is a rebuild, not an append), the batch is
+    cell-assigned + residual-encoded map-only against the frozen
+    coarse/PQ codebooks as folded literals, and the new code rows land in
+    the existing cell partition directories. Serving needs no change —
+    `ivfpq_topk_from_codes` reads the merged table and PartitionFilters
+    pruning still holds.
+
+    Scale shape: the BATCH is the only thing scanned for encoding
+    (map-only, nothing shuffles except the one `repartition("cell")`
+    clustering write — the build_bucketed_embeddings small-files lesson);
+    the standing index contributes only its vec_id column to the optional
+    collision guard (column-pruned left-semi; pass check_ids=False when an
+    id allocator already guarantees uniqueness at the 100-TB decade).
+    Durability note: `mode("append")` is not atomic under mid-write
+    failure — a production deployment stages new files and commits via
+    manifest rename exactly like `index/build.py` segments and
+    `pipeline/epoch.py` shards do; the gate form is single-process.
+    Returns the number of rows appended."""
+    m = len(books)
+    dsub = len(books[0][0])
+    batch = new_emb.select("vec_id", "label", "embedding")
+    if check_ids:
+        try:
+            existing = spark.read.parquet(codes_path).select("vec_id")
+        except Exception:
+            existing = None  # first write: nothing to collide with
+        if existing is not None:
+            n_dup = batch.join(existing, "vec_id", "left_semi").count()
+            if n_dup:
+                raise ValueError(
+                    f"{n_dup} vec_id(s) in the append batch already exist in "
+                    f"{codes_path} — appends must carry fresh ids (rebuild to "
+                    "replace)"
+                )
+    res = _residuals(batch, cents)
+    cols = [F.col("vec_id"), F.col("label"), F.col("cell")] + [
+        _code_col(_sub_slice(j, dsub), books[j]).cast("smallint").alias(f"c{j}")
+        for j in range(m)
+    ]
+    out = res.select(*cols).repartition("cell")
+    n = out.count()
+    out.write.mode("append").partitionBy("cell").parquet(codes_path)
+    return n
+
+
+def ivfpq_append_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    kc: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Gate form of the incremental lifecycle: train the codebooks once on
+    the corpus, build the STORED index with TWO `ivfpq_append` batches
+    (vec_id parity halves — deterministic at any partitioning), then serve
+    the standard probed-ADC top-k from the appended table. The result must
+    be identical to the train-once/encode-all program, so the gate shares
+    `ivfpq_topk`'s full value-hash oracle — appends that drop, duplicate,
+    or mis-encode a row flip the hash. The index is rebuilt from scratch
+    every invocation on purpose (the lifecycle IS the thing under test,
+    like catwalk_saved_model)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb, cents, books, _res, _dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
+    q_rows = (
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+    q = [float(v) for v in q_rows[0]["embedding"]]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "miru_ivfpq_append_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_append(spark, path, emb.filter(F.col("vec_id") % 2 == 0), cents, books)
+    ivfpq_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1), cents, books)
+    for s in ("ivfpq_emb", "ivfpq_res"):
+        release_scope(s)
+    return ivfpq_topk_from_codes(
+        spark, path, cents, books, q, query_vec_id=query_vec_id, k=k, nprobe=nprobe
+    )

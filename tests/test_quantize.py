@@ -455,3 +455,55 @@ def test_ivfpq_recall_rerank_dominates_adc(spark, sfdir):
     for r in rows:
         assert r["n_queries"] == 8 and r["k"] == 10
         assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // 80
+
+
+def test_ivfpq_append_matches_bulk_encode_and_guards_ids(spark, sfdir, tmp_path):
+    """Incremental maintenance contract: an index built by TWO
+    ivfpq_append batches (frozen codebooks) holds exactly the rows the
+    encode-all program writes, serves rank-identically, and re-appending
+    existing ids raises (fail-loud, column-pruned guard)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from miru_spark.functions.cache import release_scope
+    from miru_spark.pipeline.quantize import (
+        _ivfpq_fit,
+        ivfpq_append,
+        ivfpq_encode,
+        ivfpq_topk_from_codes,
+    )
+
+    kc = m = ksub = 4
+    emb, cents, books, _res, _dsub = _ivfpq_fit(spark, sfdir, kc, m, ksub, 2)
+    inc = str(tmp_path / "inc")
+    n0 = ivfpq_append(spark, inc, emb.filter(F.col("vec_id") % 2 == 0), cents, books)
+    n1 = ivfpq_append(spark, inc, emb.filter(F.col("vec_id") % 2 == 1), cents, books)
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    release_scope("ivfpq_emb")
+    release_scope("ivfpq_res")
+
+    bulk = str(tmp_path / "bulk")
+    cents_b, books_b = ivfpq_encode(spark, sfdir, bulk, kc=kc, m=m, ksub=ksub)
+    assert cents_b == cents and books_b == books  # deterministic training
+
+    cols = ["vec_id", "label", "cell"] + [f"c{j}" for j in range(m)]
+    rows_inc = sorted(
+        tuple(r) for r in spark.read.parquet(inc).select(*cols).collect()
+    )
+    rows_bulk = sorted(
+        tuple(r) for r in spark.read.parquet(bulk).select(*cols).collect()
+    )
+    assert rows_inc == rows_bulk and n0 + n1 == len(rows_bulk)
+
+    got = ivfpq_topk_from_codes(spark, inc, cents, books, q, k=10).collect()
+    want = ivfpq_topk_from_codes(spark, bulk, cents, books, q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    with _pytest.raises(ValueError, match="already exist"):
+        ivfpq_append(
+            spark, inc, spark.read.parquet(f"{sfdir}/embeddings.parquet").limit(3),
+            cents, books,
+        )
