@@ -926,6 +926,24 @@ FROM rr QUALIFY rank <= {k} ORDER BY rank
 """
 
 
+def _ivfpq_remove_oracle_sql(removed: tuple = (388, 415), k: int = 10) -> str:
+    """ivfpq_remove_serve oracle: the ivfpq_topk program with the
+    tombstoned ids excluded BEFORE ranking (WHERE runs before the window,
+    so ranks are re-assigned over the survivors — exactly what the
+    broadcast anti-join does on the Spark side). The removed ids are the
+    two rows that head ivfpq_topk's result at sf0.01, so the gate result
+    provably differs from the unremoved program's."""
+    ids = ", ".join(str(i) for i in sorted(removed))
+    return f"""{_ivfpq_ctes()},
+{_ivfpq_probe_ctes()}
+SELECT adcs.vec_id AS vec_id, e.label AS label, adcs.adc AS adc,
+       row_number() OVER (ORDER BY adcs.adc ASC, adcs.vec_id ASC) AS rank
+FROM adcs JOIN e USING (vec_id)
+WHERE adcs.vec_id NOT IN ({ids})
+QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
 def _pq_recall_oracle_sql(
     query_ids: tuple = tuple(range(8)),
     k: int = 10,
@@ -1260,6 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serve identically to the encode-all program — shares
         # ivfpq_topk's full value-hash oracle
         "ivfpq_append_serve": quantize.ivfpq_append_serve,
+        # removal lifecycle: tombstone the two rows that head ivfpq_topk's
+        # result, serve honoring the mask — ranks re-assign over survivors
+        "ivfpq_remove_serve": quantize.ivfpq_remove_serve,
         # threshold 0.4: the synthetic embeddings have no true near-dups
         # (max within-label cosine ≈ 0.47), so the gate runs at a threshold
         # that yields a NON-EMPTY result — proving the join + math, not a
@@ -2049,6 +2070,7 @@ FROM flat GROUP BY lang ORDER BY lang
         # append-built index serves rank-identically to encode-all:
         # same program, same oracle
         "ivfpq_append_serve": _ivfpq_topk_oracle_sql(),
+        "ivfpq_remove_serve": _ivfpq_remove_oracle_sql(),
         "media_features_stats": _media_oracle_sqls()[0],
         "media_frame_sample": _media_oracle_sqls()[1],
         # resize dims are pure arithmetic over the synthesized sizes:

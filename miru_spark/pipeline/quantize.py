@@ -692,12 +692,15 @@ def ivfpq_topk_from_codes(
     query_vec_id: int = 0,
     k: int = 10,
     nprobe: int = 2,
+    honor_tombstones: bool = True,
 ) -> DataFrame:
     """IVF-PQ serving over the STORED cell-partitioned codes — the 100-TB
     path: the `cell IN probed` filter prunes whole partition DIRECTORIES
     (explain() shows PartitionFilters; pinned by test), so the scan reads
     nprobe/kc of the code files and ZERO float bytes. Rank-identical to
-    the inline `ivfpq_topk` on the same corpus (pinned by test)."""
+    the inline `ivfpq_topk` on the same corpus (pinned by test). Rows
+    tombstoned by `ivfpq_remove` are excluded via a broadcast anti-join
+    (the index/removal.py mask analog; no-op when no tombstones exist)."""
     kc, m = len(cents), len(books)
     dsub = len(books[0][0])
     q = [float(v) for v in query_vec]
@@ -711,6 +714,10 @@ def ivfpq_topk_from_codes(
         for cell in probed
     }
     codes = spark.read.parquet(codes_path).filter(F.col("cell").isin(probed))
+    if honor_tombstones:
+        tomb = _read_tombstones(spark, codes_path)
+        if tomb is not None:
+            codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     code_cols = [F.col(f"c{j}").cast("int") for j in range(m)]
     adc = _ivfpq_adc(dtabs, probed, kc, code_cols)
     scored = codes.filter(F.col("vec_id") != query_vec_id).select(
@@ -1139,6 +1146,106 @@ def ivfpq_append_serve(
     ivfpq_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1), cents, books)
     for s in ("ivfpq_emb", "ivfpq_res"):
         release_scope(s)
+    return ivfpq_topk_from_codes(
+        spark, path, cents, books, q, query_vec_id=query_vec_id, k=k, nprobe=nprobe
+    )
+
+
+# ---- Removal: tombstones + compaction for the stored index ----
+
+_TOMBSTONE_SUBDIR = "_tombstones"
+
+
+def _read_tombstones(spark: SparkSession, codes_path: str):
+    """The distinct tombstoned vec_ids, or None when none exist. The
+    subdirectory is underscore-prefixed, so Hadoop input listing hides it
+    from the main table read (the _SUCCESS convention)."""
+    import os
+
+    path = os.path.join(codes_path, _TOMBSTONE_SUBDIR)
+    try:
+        return spark.read.parquet(path).select("vec_id").distinct()
+    except Exception:
+        return None
+
+
+def ivfpq_remove(spark: SparkSession, codes_path: str, ids) -> int:
+    """Remove vectors from a stored IVF-PQ index — the `index/removal.py`
+    story for the vector tier: parquet files are immutable, so removal is
+    an APPEND-ONLY tombstone id table inside the index directory (hidden
+    from the table read by the underscore prefix); serving excludes
+    tombstoned rows with a broadcast anti-join, and `ivfpq_compact` folds
+    them into a rewrite when the mask grows. Idempotent by construction —
+    duplicate tombstones are deduped at read, so retried removals are
+    harmless (the streaming REMOVE-op replay contract). Returns the count
+    of ids tombstoned in this call."""
+    import os
+
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return 0
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(codes_path, _TOMBSTONE_SUBDIR)
+    )
+    return len(ids)
+
+
+def ivfpq_compact(spark: SparkSession, codes_path: str, out_path: str) -> int:
+    """Fold tombstones into a rewrite: the surviving rows land
+    cell-partitioned at ``out_path`` with NO tombstone directory. Writes
+    to a NEW directory on purpose — the swap is the caller's journaled
+    step (the `index/compact.py` contract: data first, then an atomic
+    manifest/pointer flip; an in-place distributed-FS overwrite is not
+    crash-safe). Returns the surviving row count."""
+    codes = spark.read.parquet(codes_path)
+    tomb = _read_tombstones(spark, codes_path)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    out = codes.repartition("cell")
+    n = out.count()
+    out.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    return n
+
+
+def ivfpq_remove_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    removed: tuple = (388, 415),
+    query_vec_id: int = 0,
+    k: int = 10,
+    kc: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Gate form of the removal lifecycle: build the stored index, TOMBSTONE
+    the two rows that head ivfpq_topk's result at the gate corpus (388 and
+    415 at sf0.01 — chosen so the removal provably CHANGES the served
+    top-k; a removal gate whose removed ids never ranked would be
+    vacuous), and serve. Oracle = the ivfpq_topk program with the removed
+    ids excluded before ranking."""
+    import os
+    import shutil
+    import tempfile
+
+    emb, cents, books, _res, _dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
+    q_rows = (
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+    q = [float(v) for v in q_rows[0]["embedding"]]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "miru_ivfpq_remove_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_append(spark, path, emb, cents, books)
+    for s in ("ivfpq_emb", "ivfpq_res"):
+        release_scope(s)
+    ivfpq_remove(spark, path, removed)
     return ivfpq_topk_from_codes(
         spark, path, cents, books, q, query_vec_id=query_vec_id, k=k, nprobe=nprobe
     )

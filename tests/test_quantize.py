@@ -507,3 +507,64 @@ def test_ivfpq_append_matches_bulk_encode_and_guards_ids(spark, sfdir, tmp_path)
             spark, inc, spark.read.parquet(f"{sfdir}/embeddings.parquet").limit(3),
             cents, books,
         )
+
+
+def test_ivfpq_remove_tombstones_and_compact(spark, sfdir, tmp_path):
+    """Removal lifecycle: tombstoning the current top-2 must re-rank over
+    the survivors exactly as an index built WITHOUT those rows would
+    (frozen codebooks make encode per-row, so the comparison is exact);
+    retried removals are idempotent; compaction folds the mask into a
+    tombstone-free rewrite that serves identically."""
+    import pyspark.sql.functions as F
+
+    from miru_spark.functions.cache import release_scope
+    from miru_spark.pipeline.quantize import (
+        _ivfpq_fit,
+        _read_tombstones,
+        ivfpq_append,
+        ivfpq_compact,
+        ivfpq_remove,
+        ivfpq_topk_from_codes,
+    )
+
+    kc = m = ksub = 4
+    emb, cents, books, _res, _dsub = _ivfpq_fit(spark, sfdir, kc, m, ksub, 2)
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    full = str(tmp_path / "full")
+    ivfpq_append(spark, full, emb, cents, books)
+    base = ivfpq_topk_from_codes(spark, full, cents, books, q, k=10).collect()
+    removed = [base[0]["vec_id"], base[1]["vec_id"]]
+
+    ivfpq_remove(spark, full, removed)
+    got = ivfpq_topk_from_codes(spark, full, cents, books, q, k=10).collect()
+    assert {r["vec_id"] for r in got}.isdisjoint(set(removed))
+    assert got[0]["vec_id"] == base[2]["vec_id"]  # survivors shift up
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+    # exact baseline: an index that never contained the removed rows
+    wo = str(tmp_path / "wo")
+    ivfpq_append(
+        spark, wo, emb.filter(~F.col("vec_id").isin(removed)), cents, books
+    )
+    release_scope("ivfpq_emb")
+    release_scope("ivfpq_res")
+    want = ivfpq_topk_from_codes(spark, wo, cents, books, q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # idempotent replay
+    ivfpq_remove(spark, full, removed)
+    again = ivfpq_topk_from_codes(spark, full, cents, books, q, k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+    # compaction: tombstone-free rewrite serves identically
+    compacted = str(tmp_path / "compacted")
+    n = ivfpq_compact(spark, full, compacted)
+    assert n == spark.read.parquet(full).count() - len(removed)
+    assert _read_tombstones(spark, compacted) is None
+    after = ivfpq_topk_from_codes(
+        spark, compacted, cents, books, q, k=10
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in got]
