@@ -823,11 +823,14 @@ def pq_recall(
 
     if max(shortlists) < k:
         raise ValueError(f"max shortlist {max(shortlists)} < k={k}")
-    books, _sizes, dsub = _pq_fit(spark, sf_dir, m, ksub, n_iter)
+    # ONE cached relation serves training, encoding, queries, and ground
+    # truth — calling _pq_fit(spark, sf_dir) here would pin a second copy
+    # of the corpus under its own 'pq_train_emb' scope for the whole run
+    # (the accumulated-scoped-cache heap-pressure lesson, CLAUDE.md)
     emb = scoped_cache(
-        _emb(spark, sf_dir).select("vec_id", "label", "embedding"),
-        "pq_recall_emb",
+        _emb(spark, sf_dir).select("vec_id", "embedding"), "pq_recall_emb"
     )
+    books, _sizes, dsub = _pq_fit_df(emb, m, ksub, n_iter)
     qvecs = _collect_qvecs(emb, query_ids)
     nq = len(query_ids)
     cmax = max(shortlists)
@@ -952,12 +955,11 @@ def ivfpq_recall(
 
     # per-(qid, cell) residual ADC tables + probe ranks, driver-side
     # (|Q| * kc * m * ksub * dsub float ops — trivial, bit-pinned)
-    dtab_rows, crk = [], {}
+    dtab_rows = []
     for qid in sorted(qvecs):
         q = qvecs[qid]
         order = _probe_cells(cents, q, kc)  # all cells, probe order
         for rank, cell in enumerate(order, start=1):
-            crk[(qid, cell)] = rank
             tab = _adc_table(
                 spark, books, [q[i] - cents[cell][i] for i in range(len(q))], dsub
             )
@@ -1074,26 +1076,43 @@ def ivfpq_append(
     the standing index contributes only its vec_id column to the optional
     collision guard (column-pruned left-semi; pass check_ids=False when an
     id allocator already guarantees uniqueness at the 100-TB decade).
+    The guard also rejects ids that are TOMBSTONED: a tombstone masks its
+    vec_id at serving until a compaction, so re-ingesting a removed id
+    would write a row that silently never serves — compact to a new path
+    first, then append.
     Durability note: `mode("append")` is not atomic under mid-write
     failure — a production deployment stages new files and commits via
     manifest rename exactly like `index/build.py` segments and
     `pipeline/epoch.py` shards do; the gate form is single-process.
     Returns the number of rows appended."""
+    import os
+
     m = len(books)
     dsub = len(books[0][0])
     batch = new_emb.select("vec_id", "label", "embedding")
+    n = batch.count()  # counted BEFORE encoding: the write is the only
+    # action that pays the encode + repartition (no double execution)
     if check_ids:
-        try:
+        n_distinct = batch.select("vec_id").distinct().count()
+        if n_distinct != n:
+            raise ValueError(
+                f"append batch carries duplicate vec_ids "
+                f"({n} rows, {n_distinct} distinct)"
+            )
+        # first write is decided by path existence, NOT by swallowing read
+        # errors — a corrupt standing index must fail the append, not
+        # silently disable the guard (fail-loud contract)
+        if os.path.exists(codes_path):
             existing = spark.read.parquet(codes_path).select("vec_id")
-        except Exception:
-            existing = None  # first write: nothing to collide with
-        if existing is not None:
+            tomb = _read_tombstones(spark, codes_path)
+            if tomb is not None:
+                existing = existing.unionByName(tomb)
             n_dup = batch.join(existing, "vec_id", "left_semi").count()
             if n_dup:
                 raise ValueError(
                     f"{n_dup} vec_id(s) in the append batch already exist in "
-                    f"{codes_path} — appends must carry fresh ids (rebuild to "
-                    "replace)"
+                    f"{codes_path} (as rows or tombstones) — appends must "
+                    "carry fresh ids (rebuild/compact to replace)"
                 )
     res = _residuals(batch, cents)
     cols = [F.col("vec_id"), F.col("label"), F.col("cell")] + [
@@ -1101,7 +1120,6 @@ def ivfpq_append(
         for j in range(m)
     ]
     out = res.select(*cols).repartition("cell")
-    n = out.count()
     out.write.mode("append").partitionBy("cell").parquet(codes_path)
     return n
 
@@ -1127,7 +1145,6 @@ def ivfpq_append_serve(
     every invocation on purpose (the lifecycle IS the thing under test,
     like catwalk_saved_model)."""
     import os
-    import shutil
     import tempfile
 
     emb, cents, books, _res, _dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
@@ -1137,11 +1154,11 @@ def ivfpq_append_serve(
     if not q_rows:
         raise ValueError(f"query vec_id {query_vec_id} not in corpus")
     q = [float(v) for v in q_rows[0]["embedding"]]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "miru_ivfpq_append_" + sf_dir.strip("/").replace("/", "_"),
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    # mkdtemp: a UNIQUE directory per invocation — a fixed shared path
+    # would let a concurrent session's rmtree delete this one's half-built
+    # index, and would invalidate the lazy DataFrame a prior invocation
+    # returned (it still reads the path at collect time)
+    path = os.path.join(tempfile.mkdtemp(prefix="miru_ivfpq_append_"), "idx")
     ivfpq_append(spark, path, emb.filter(F.col("vec_id") % 2 == 0), cents, books)
     ivfpq_append(spark, path, emb.filter(F.col("vec_id") % 2 == 1), cents, books)
     for s in ("ivfpq_emb", "ivfpq_res"):
@@ -1159,14 +1176,17 @@ _TOMBSTONE_SUBDIR = "_tombstones"
 def _read_tombstones(spark: SparkSession, codes_path: str):
     """The distinct tombstoned vec_ids, or None when none exist. The
     subdirectory is underscore-prefixed, so Hadoop input listing hides it
-    from the main table read (the _SUCCESS convention)."""
+    from the main table read (the _SUCCESS convention). Absence is decided
+    by PATH EXISTENCE only — a present-but-unreadable tombstone table must
+    RAISE, not silently serve rows the operator explicitly removed (the
+    fail-loud contract; swallowing read errors here would be a silent
+    un-deletion)."""
     import os
 
     path = os.path.join(codes_path, _TOMBSTONE_SUBDIR)
-    try:
-        return spark.read.parquet(path).select("vec_id").distinct()
-    except Exception:
+    if not os.path.exists(path):
         return None
+    return spark.read.parquet(path).select("vec_id").distinct()
 
 
 def ivfpq_remove(spark: SparkSession, codes_path: str, ids) -> int:
@@ -1177,8 +1197,12 @@ def ivfpq_remove(spark: SparkSession, codes_path: str, ids) -> int:
     tombstoned rows with a broadcast anti-join, and `ivfpq_compact` folds
     them into a rewrite when the mask grows. Idempotent by construction —
     duplicate tombstones are deduped at read, so retried removals are
-    harmless (the streaming REMOVE-op replay contract). Returns the count
-    of ids tombstoned in this call."""
+    harmless (the streaming REMOVE-op replay contract). A tombstone masks
+    its vec_id until a COMPACTION — re-ingesting a removed id before
+    compacting would write a row that silently never serves, so
+    `ivfpq_append`'s guard rejects tombstoned ids too (compact to a new
+    path, then append the replacement). Returns the count of ids
+    tombstoned in this call."""
     import os
 
     ids = sorted({int(i) for i in ids})
@@ -1202,10 +1226,12 @@ def ivfpq_compact(spark: SparkSession, codes_path: str, out_path: str) -> int:
     tomb = _read_tombstones(spark, codes_path)
     if tomb is not None:
         codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
-    out = codes.repartition("cell")
-    n = out.count()
-    out.write.mode("overwrite").partitionBy("cell").parquet(out_path)
-    return n
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(out_path)
+    # count from the WRITTEN table (parquet footer metadata — no second
+    # scan/shuffle of the survivor plan)
+    return spark.read.parquet(out_path).count()
 
 
 def ivfpq_remove_serve(
@@ -1227,7 +1253,6 @@ def ivfpq_remove_serve(
     vacuous), and serve. Oracle = the ivfpq_topk program with the removed
     ids excluded before ranking."""
     import os
-    import shutil
     import tempfile
 
     emb, cents, books, _res, _dsub = _ivfpq_fit(spark, sf_dir, kc, m, ksub, n_iter)
@@ -1237,11 +1262,8 @@ def ivfpq_remove_serve(
     if not q_rows:
         raise ValueError(f"query vec_id {query_vec_id} not in corpus")
     q = [float(v) for v in q_rows[0]["embedding"]]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "miru_ivfpq_remove_" + sf_dir.strip("/").replace("/", "_"),
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    # unique dir per invocation — see ivfpq_append_serve
+    path = os.path.join(tempfile.mkdtemp(prefix="miru_ivfpq_remove_"), "idx")
     ivfpq_append(spark, path, emb, cents, books)
     for s in ("ivfpq_emb", "ivfpq_res"):
         release_scope(s)
