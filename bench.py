@@ -141,6 +141,9 @@ def main() -> None:
         # measured recall@k of the quantized tiers (ann_recall contract
         # extended to PQ/IVF-PQ: batched ADC scan + one exact truth scan)
         "pq_recall", "ivfpq_recall",
+        # stored-index lifecycle: frozen-codebook appends + tombstone
+        # removal (each rebuilds its index per invocation on purpose)
+        "ivfpq_append_serve", "ivfpq_remove_serve",
     ]
     qmap = entry.queries()
     for name in headline:
